@@ -1,38 +1,45 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`queries()` exposes every implemented operator from SURVEY.md §2 plus the
+training-data-pipeline operators (dedup / similarity / text analysis) as
+(spark, sf_dir) → DataFrame callables; `oracle_sql()` carries the DuckDB
+oracle for each SQL-expressible one. Implementations live in
+`radar_log_parser_spark.operators.*`.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from radar_log_parser_spark.operators import logquery  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the priority-ordered issue summary (the reference's report
+    table, O1+A8) over sf0.001."""
+    return logquery.q_priority_summary(spark, "/root/testdata/sf0.001")
+
+
+def _specs() -> list:
+    specs = list(logquery.SPECS)
+    try:
+        from radar_log_parser_spark.operators import dedup, similarity, textops
+
+        specs += dedup.SPECS + similarity.SPECS + textops.SPECS
+    except ImportError:
+        pass
+    return specs
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {s.name: s.spark for s in _specs()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {s.name: s.sql for s in _specs() if s.sql is not None}

@@ -1,0 +1,401 @@
+"""Reference-operator analogs over the driver's testdata tables.
+
+Each entry re-expresses one operator family from SURVEY.md §2 (the
+radar-log-parser query semantics) as a Spark DataFrame query over the
+`documents` / `events` tables, paired with an ANSI-SQL oracle that DuckDB
+runs on the same parquet — the driver's correctness gate. `documents` plays
+the role of the log (doc_id = line ordinal, text = line, source = process
+bucket); `events` plays the telemetry stream for the enrich operators.
+
+Column names are aliased identically on both sides (the driver's compare
+hashes values under name-sorted columns). All numeric outputs are integral
+(BIGINT) so no float summation-order noise can flip a hash.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    doc: str
+    spark: Callable[[SparkSession, str], DataFrame]
+    sql: str | None  # DuckDB oracle; None → rows-only check
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+# --- the "config" for the documents-as-log analysis ------------------------
+PROCS = {"proc_spark": r"\bspark\b", "proc_vector": r"\bvector\b", "proc_dup": r"\bdup\b"}
+NGRP_ISSUES = {"repeat_batch": r"batch batch", "slow_op": r"slow (?:query|join|part)"}
+GROUPING = r"the (\w+) (\w+)"
+EVENT_PATTERNS = {"ev_dup": r"\bdup\b", "ev_bigjoin": r"big join"}
+FIELD_PATTERN = r"\bba\w+"
+SEVERITY_MAP = [  # event_type → level letter (broadcast enrich dictionary, F8)
+    ("error", "E"),
+    ("click", "D"),
+    ("view", "V"),
+    ("signup", "I"),
+    ("purchase", "I"),
+]
+PRIORITY = [("repeat_batch", 3), ("slow_op", 2), ("grouped_the", 2)]
+
+
+def _proc_union_sql(sf_dir: str) -> str:
+    parts = [
+        f"SELECT '{p}' AS process, doc_id FROM documents WHERE regexp_matches(text, '{rx}')"
+        for p, rx in sorted(PROCS.items())
+    ]
+    return " UNION ALL ".join(parts)
+
+
+# --- F1 + Q1: specific-process filter with >1-match keep rule --------------
+def q_specific_process(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 (setSpecProcessLogs, analyzeLog.go:125-146): per-process matched
+    lines, kept only when the process matched >1 line (quirk Q1)."""
+    docs = _docs(spark, sf_dir)
+    pairs = docs.select(
+        "doc_id",
+        F.filter(
+            F.array(*[
+                F.when(F.col("text").rlike(rx), F.lit(p)) for p, rx in sorted(PROCS.items())
+            ]),
+            lambda x: x.isNotNull(),
+        ).alias("procs"),
+    ).select("doc_id", F.explode("procs").alias("process"))
+    counts = W.partitionBy("process")
+    return (
+        pairs.withColumn("n", F.count("*").over(counts))
+        .filter(F.col("n") > 1)
+        .select("process", F.col("doc_id").cast("long").alias("doc_id"))
+    )
+
+
+Q_SPECIFIC_PROCESS_SQL = """
+WITH matches AS ({union}),
+counted AS (SELECT process, doc_id, count(*) OVER (PARTITION BY process) AS n FROM matches)
+SELECT process, CAST(doc_id AS BIGINT) AS doc_id FROM counted WHERE n > 1
+"""
+
+
+# --- F3 + A1: non-grouped issue match count (duplicates included) ----------
+def q_nongrouped_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3/A1 (nongroupIssueDetails, analyzeLog.go:266-279): Number counts
+    ALL matches including within-line duplicates; distinct set separate."""
+    docs = _docs(spark, sf_dir)
+    parts = []
+    for issue, rx in sorted(NGRP_ISSUES.items()):
+        parts.append(
+            docs.select(
+                F.lit(issue).alias("issue"),
+                F.size(F.regexp_extract_all("text", F.lit(rx), 0)).alias("k"),
+                F.col("text"),
+            )
+            .groupBy("issue")
+            .agg(
+                F.sum("k").cast("long").alias("number"),
+                F.count_distinct(F.when(F.col("k") > 0, F.col("text"))).cast("long").alias("n_distinct_lines"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+Q_NONGROUPED_COUNT_SQL = """
+SELECT issue, CAST(sum(k) AS BIGINT) AS number,
+       CAST(count(DISTINCT CASE WHEN k > 0 THEN text END) AS BIGINT) AS n_distinct_lines
+FROM (
+  SELECT 'repeat_batch' AS issue, len(regexp_extract_all(text, 'batch batch')) AS k, text FROM documents
+  UNION ALL
+  SELECT 'slow_op' AS issue, len(regexp_extract_all(text, 'slow (?:query|join|part)')) AS k, text FROM documents
+) GROUP BY issue
+"""
+
+
+# --- F4 + A2: grouped issue — first match per line, distinct-tuple counts --
+def q_grouped_tuples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4/A2 (fillGroupDetails, analyzeLog.go:233-257): group 1 = key,
+    group 2 = detail; count occurrences of each distinct (key, detail)."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.filter(F.col("text").rlike(GROUPING))
+        .select(
+            F.regexp_extract("text", GROUPING, 1).alias("group_key"),
+            F.regexp_extract("text", GROUPING, 2).alias("detail"),
+        )
+        .groupBy("group_key", "detail")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+Q_GROUPED_TUPLES_SQL = """
+SELECT regexp_extract(text, 'the (\\w+) (\\w+)', 1) AS group_key,
+       regexp_extract(text, 'the (\\w+) (\\w+)', 2) AS detail,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM documents WHERE regexp_matches(text, 'the (\\w+) (\\w+)')
+GROUP BY 1, 2
+"""
+
+
+# --- A5/F6/F7: first/last-match selection via min_by/max_by ----------------
+def q_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 (analyzeLog.go:285,299): LogLevel from the FIRST match, Timestamp
+    from the LAST — here: first/last matching doc ordinal and the extracted
+    word at each, via min_by/max_by over the explicit ordinal."""
+    docs = _docs(spark, sf_dir)
+    parts = []
+    for issue, rx in sorted(NGRP_ISSUES.items()):
+        hit = docs.filter(F.col("text").rlike(rx))
+        parts.append(
+            hit.select(
+                F.lit(issue).alias("issue"),
+                F.col("doc_id"),
+                F.regexp_extract("text", r"(\w+)", 1).alias("w"),
+            )
+            .groupBy("issue")
+            .agg(
+                F.min("doc_id").cast("long").alias("first_doc"),
+                F.max("doc_id").cast("long").alias("last_doc"),
+                F.min_by("w", "doc_id").alias("first_word"),
+                F.max_by("w", "doc_id").alias("last_word"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+Q_FIRST_LAST_SQL = """
+SELECT issue, CAST(min(doc_id) AS BIGINT) AS first_doc, CAST(max(doc_id) AS BIGINT) AS last_doc,
+       min_by(w, doc_id) AS first_word, max_by(w, doc_id) AS last_word
+FROM (
+  SELECT 'repeat_batch' AS issue, doc_id, regexp_extract(text, '(\\w+)', 1) AS w
+  FROM documents WHERE regexp_matches(text, 'batch batch')
+  UNION ALL
+  SELECT 'slow_op' AS issue, doc_id, regexp_extract(text, '(\\w+)', 1) AS w
+  FROM documents WHERE regexp_matches(text, 'slow (?:query|join|part)')
+) GROUP BY issue
+"""
+
+
+# --- F5/A4: field extract — '<n> :  <joined>' over ordered matches ---------
+def q_field_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5/A4 (getFieldContent, analyzeLog.go:305-313): per source, the count
+    of field-pattern matches plus the newline-joined matches in scan order
+    (the reference's '<n> :  <joined>' cell, split into typed columns)."""
+    docs = _docs(spark, sf_dir)
+    per_row = docs.select(
+        "source", "doc_id",
+        F.regexp_extract_all("text", F.lit(FIELD_PATTERN), 0).alias("hits"),
+    ).filter(F.size("hits") > 0)
+    return per_row.groupBy("source").agg(
+        F.sum(F.size("hits")).cast("long").alias("n"),
+        F.array_join(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "hits"))),
+                    lambda s: s["hits"],
+                )
+            ),
+            "\n",
+        ).alias("joined"),
+    )
+
+
+Q_FIELD_CONTENT_SQL = """
+SELECT source, CAST(sum(len(hits)) AS BIGINT) AS n,
+       string_agg(array_to_string(hits, chr(10)), chr(10) ORDER BY doc_id) AS joined
+FROM (SELECT source, doc_id, regexp_extract_all(text, '\\bba\\w+') AS hits FROM documents)
+WHERE len(hits) > 0 GROUP BY source
+"""
+
+
+# --- F8: severity classification via broadcast dictionary join -------------
+def q_severity_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 (GetLogLeveldetails, details.go:187-194): severity classification
+    as a broadcast-hash-join against the level dictionary, rolled up per
+    level with an integral value sum."""
+    ev = _events(spark, sf_dir)
+    dim = spark.createDataFrame(SEVERITY_MAP, "event_type string, level string")
+    return (
+        ev.join(F.broadcast(dim), "event_type", "inner")
+        .groupBy("level")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+    )
+
+
+Q_SEVERITY_ENRICH_SQL = """
+SELECT level, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events JOIN (VALUES ('error','E'),('click','D'),('view','V'),('signup','I'),('purchase','I'))
+  AS sev(event_type, level) USING (event_type)
+GROUP BY level
+"""
+
+
+# --- F9 + O2 + Q7: important events, last-duplicate-index wins -------------
+def q_important_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 (getImportantEvents, details.go:154-186): per matched text the
+    LAST ordinal wins (Q7); one event per line, max name on collision."""
+    docs = _docs(spark, sf_dir)
+    tagged = docs.select(
+        "doc_id", "text",
+        F.filter(
+            F.array(*[
+                F.when(F.col("text").rlike(rx), F.lit(e))
+                for e, rx in sorted(EVENT_PATTERNS.items())
+            ]),
+            lambda x: x.isNotNull(),
+        ).alias("evs"),
+    ).filter(F.size("evs") > 0)
+    return (
+        tagged.groupBy("text")
+        .agg(
+            F.max("doc_id").cast("long").alias("line_no"),
+            F.max(F.array_max("evs")).alias("event"),
+        )
+        .select("line_no", "event")
+    )
+
+
+Q_IMPORTANT_EVENTS_SQL = """
+WITH tagged AS (
+  SELECT doc_id, text, 'ev_bigjoin' AS ev FROM documents WHERE regexp_matches(text, 'big join')
+  UNION ALL
+  SELECT doc_id, text, 'ev_dup' AS ev FROM documents WHERE regexp_matches(text, '\\bdup\\b')
+)
+SELECT CAST(max(doc_id) AS BIGINT) AS line_no, max(ev) AS event FROM tagged GROUP BY text
+"""
+
+
+# --- F11: line-range slice (pushdown-friendly range predicate) -------------
+def q_line_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11 (loadEventDetails slice, main.go:178-193): context fetch =
+    BETWEEN on the ordinal; the filter reaches the parquet scan."""
+    docs = _docs(spark, sf_dir)
+    return docs.filter(F.col("doc_id").between(100, 149)).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+
+
+Q_LINE_RANGE_SQL = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents WHERE doc_id BETWEEN 100 AND 149
+"""
+
+
+# --- F12: context-window segmentation via running match count --------------
+def q_context_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12 (nonGroupDetails, details.go:128-153): alternating
+    [context block, matched line] segmentation = running sum of the match
+    flag over the ordinal; emits per-segment line counts."""
+    docs = _docs(spark, sf_dir)
+    flag = F.when(F.col("text").rlike(r"\bdup\b"), 1).otherwise(0)
+    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    seg = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        flag.alias("flag"),
+    ).withColumn("segment", F.sum("flag").over(w).cast("long"))
+    return seg.groupBy("segment").agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.min("doc_id").cast("long").alias("seg_start"),
+    )
+
+
+Q_CONTEXT_SEGMENTS_SQL = """
+SELECT segment, CAST(count(*) AS BIGINT) AS n_lines, CAST(min(doc_id) AS BIGINT) AS seg_start
+FROM (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(sum(CASE WHEN regexp_matches(text, '\\bdup\\b') THEN 1 ELSE 0 END)
+              OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS segment
+  FROM documents
+) GROUP BY segment
+"""
+
+
+# --- O1 + A8 + Q4: priority-ordered summary rollup --------------------------
+def q_priority_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/A8 (sortIssue, analyzeLog.go:102-111; report.html:74-93): one row
+    per issue with its match count, joined to the broadcast priority dict,
+    ordered priority desc with name-asc tiebreak (Q4)."""
+    docs = _docs(spark, sf_dir)
+    counts = []
+    for issue, rx in sorted(NGRP_ISSUES.items()):
+        counts.append(
+            docs.select(F.size(F.regexp_extract_all("text", F.lit(rx), 0)).alias("k"))
+            .agg(F.sum("k").cast("long").alias("number"))
+            .select(F.lit(issue).alias("issue"), "number")
+        )
+    counts.append(
+        _docs(spark, sf_dir)
+        .filter(F.col("text").rlike(GROUPING))
+        .agg(F.count("*").cast("long").alias("number"))
+        .select(F.lit("grouped_the").alias("issue"), "number")
+    )
+    out = counts[0]
+    for p in counts[1:]:
+        out = out.unionByName(p)
+    prio = spark.createDataFrame(PRIORITY, "issue string, priority int")
+    return (
+        out.join(F.broadcast(prio), "issue", "left")
+        .select("issue", F.col("priority").cast("int").alias("priority"), "number")
+        .orderBy(F.desc("priority"), F.asc("issue"))
+    )
+
+
+Q_PRIORITY_SUMMARY_SQL = """
+SELECT issue, CAST(p.priority AS INT) AS priority, number
+FROM (
+  SELECT 'repeat_batch' AS issue,
+         CAST(sum(len(regexp_extract_all(text, 'batch batch'))) AS BIGINT) AS number FROM documents
+  UNION ALL
+  SELECT 'slow_op',
+         CAST(sum(len(regexp_extract_all(text, 'slow (?:query|join|part)'))) AS BIGINT) FROM documents
+  UNION ALL
+  SELECT 'grouped_the', CAST(count(*) AS BIGINT) FROM documents WHERE regexp_matches(text, 'the (\\w+) (\\w+)')
+) c JOIN (VALUES ('repeat_batch', 3), ('slow_op', 2), ('grouped_the', 2)) AS p(issue, priority)
+  USING (issue)
+ORDER BY priority DESC, issue ASC
+"""
+
+
+SPECS: list[QuerySpec] = [
+    QuerySpec("specific_process", "F1+Q1 per-process filter, >1 keep rule",
+              q_specific_process, Q_SPECIFIC_PROCESS_SQL.format(union=_proc_union_sql(""))),
+    QuerySpec("nongrouped_count", "F3+A1 match count incl. duplicates",
+              q_nongrouped_count, Q_NONGROUPED_COUNT_SQL),
+    QuerySpec("grouped_tuples", "F4+A2 grouped distinct-tuple counts",
+              q_grouped_tuples, Q_GROUPED_TUPLES_SQL),
+    QuerySpec("first_last", "A5 min_by/max_by first/last selection",
+              q_first_last, Q_FIRST_LAST_SQL),
+    QuerySpec("field_content", "F5+A4 ordered field extraction",
+              q_field_content, Q_FIELD_CONTENT_SQL),
+    QuerySpec("severity_enrich", "F8 broadcast severity dictionary join",
+              q_severity_enrich, Q_SEVERITY_ENRICH_SQL),
+    QuerySpec("important_events", "F9+Q7 last-duplicate-index-wins events",
+              q_important_events, Q_IMPORTANT_EVENTS_SQL),
+    QuerySpec("line_range", "F11 ordinal range slice",
+              q_line_range, Q_LINE_RANGE_SQL),
+    QuerySpec("context_segments", "F12 running-sum segmentation",
+              q_context_segments, Q_CONTEXT_SEGMENTS_SQL),
+    QuerySpec("priority_summary", "O1+A8+Q4 priority-ordered rollup",
+              q_priority_summary, Q_PRIORITY_SUMMARY_SQL),
+]
