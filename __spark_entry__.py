@@ -28,12 +28,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _specs() -> list:
     specs = list(logquery.SPECS)
-    try:
-        from radar_log_parser_spark.operators import dedup, similarity, textops
+    from radar_log_parser_spark.operators import dedup, media, similarity, textops
 
-        specs += dedup.SPECS + similarity.SPECS + textops.SPECS
-    except ImportError:
-        pass
+    specs += dedup.SPECS + similarity.SPECS + textops.SPECS + media.SPECS
     return specs
 
 

@@ -1,0 +1,144 @@
+"""Similarity search over an embedding column (array<float>):
+brute-force cosine top-k (exact baseline) and an IVF-partitioned variant
+(the scale path: route each query to a few centroid cells instead of
+scanning all 10^12 vectors).
+
+Vector math stays JVM-side: `F.zip_with` dot products folded with
+`F.aggregate` — no Python per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from radar_log_parser_spark.operators.dedup import _dot, _norm_col
+from radar_log_parser_spark.operators.logquery import QuerySpec
+
+TOP_K = 5
+N_QUERIES = 8  # vec_id < 8 are the query set
+IVF_CENTROID_STRIDE = 25  # vec_id % 25 == 0 → deterministic centroid seeds
+IVF_PROBES = 4
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        "embedding",
+        _norm_col(F.col("embedding")).alias("nrm"),
+    )
+
+
+def q_ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the (tiny) query set against the
+    full vector table, rank per query by cosine desc with vec_id tiebreak.
+    Output is integral (query_id, rank, neighbor_id) — no float columns."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    cand = emb.select(
+        F.col("vec_id").alias("neighbor_id"), "embedding", "nrm"
+    )
+    cos = _dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_nrm") * F.col("nrm"))
+    scored = (
+        cand.join(F.broadcast(queries), F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cos.alias("cos"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id")
+    )
+
+
+Q_ANN_TOPK_SQL = f"""
+WITH emb AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_sum(list_transform(list_zip(q.embedding, c.embedding),
+           p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE))) / (q.nrm*c.nrm) AS cos
+  FROM emb q JOIN emb c ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+"""
+
+
+def ivf_assignments(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Assign every vector to its nearest centroid (max cosine) via a
+    broadcast join — the partition step of IVF. At scale the output is
+    written partitioned by cell so probes touch only matching files."""
+    cos = _dot(F.col("embedding"), F.col("c_emb")) / (F.col("nrm") * F.col("c_nrm"))
+    scored = emb.join(F.broadcast(centroids)).select(
+        "vec_id", "embedding", "nrm", "cell", cos.alias("cos")
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cell"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "cos")
+    )
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k (scale path): deterministic centroid seeds (every
+    IVF_CENTROID_STRIDE-th vector), assign vectors to cells, probe the
+    IVF_PROBES nearest cells per query, rank within probed candidates.
+    Rows-only driver check; pytest measures recall vs the exact top-k."""
+    emb = _emb(spark, sf_dir)
+    centroids = emb.filter(
+        F.col("vec_id") % IVF_CENTROID_STRIDE == 0
+    ).select(
+        (F.col("vec_id") / IVF_CENTROID_STRIDE).cast("long").alias("cell"),
+        F.col("embedding").alias("c_emb"),
+        F.col("nrm").alias("c_nrm"),
+    )
+    assigned = ivf_assignments(emb, centroids)
+
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    qcos = _dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("c_nrm"))
+    qw = W.partitionBy("query_id").orderBy(F.desc("qcos"), F.asc("cell"))
+    probed = (
+        queries.join(F.broadcast(centroids))
+        .select("query_id", "q_emb", "q_nrm", "cell", qcos.alias("qcos"))
+        .withColumn("rn", F.row_number().over(qw))
+        .filter(F.col("rn") <= IVF_PROBES)
+        .drop("rn", "qcos")
+    )
+    cos = _dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_nrm") * F.col("nrm"))
+    cand = probed.join(assigned, "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        cand.select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos"))
+        .withColumn("rank", F.row_number().over(
+            W.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+        ))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id")
+    )
+
+
+SPECS: list[QuerySpec] = [
+    QuerySpec("ann_topk_cosine", "brute-force cosine top-k baseline",
+              q_ann_topk_cosine, Q_ANN_TOPK_SQL),
+    QuerySpec("ann_ivf_topk", "IVF-partitioned top-k scale path (rows-only)",
+              q_ann_ivf_topk, None),
+]
