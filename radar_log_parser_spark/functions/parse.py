@@ -180,13 +180,34 @@ def _match_batch(pdf: pd.DataFrame, cfg: ConfigSpec, vocab_arr: np.ndarray) -> p
     )
 
 
-def parse_stage(df: DataFrame, cfg: ConfigSpec, vocab: Vocab) -> DataFrame:
+def parse_stage(df: DataFrame, cfg: ConfigSpec, vocab: Vocab, impl: str = "arrow") -> DataFrame:
     """input table (doc_id, tokens, n_tok, source) → PARSED_SCHEMA.
 
-    The vocabulary ships to executors once as a Spark broadcast of a numpy
-    object array (SURVEY.md §7: decode must not join against a vocab table).
+    impl="arrow" (default): mapInArrow with RE2 C++ kernels — the hot path
+    (see functions/parse_arrow.py; RE2 is also the reference's Go regexp
+    engine, so dialect parity is exact).
+    impl="pandas": the pandas/Python-re implementation (portability
+    fallback and A/B baseline for bench).
+
+    The vocabulary ships to executors once as a Spark broadcast
+    (SURVEY.md §7: decode must not join against a vocab table).
     """
     sc = df.sparkSession.sparkContext
+    if impl == "arrow":
+        import pyarrow as pa
+
+        from radar_log_parser_spark.functions.parse_arrow import match_batch_arrow
+
+        vocab_pa_b = sc.broadcast(list(vocab.id_to_token))
+
+        def run_arrow(batches):
+            varr = pa.array(vocab_pa_b.value, pa.string())
+            for batch in batches:
+                if batch.num_rows:
+                    yield match_batch_arrow(batch, cfg, varr)
+
+        return df.mapInArrow(run_arrow, schema=PARSED_SCHEMA)
+
     vocab_b = sc.broadcast(np.array(vocab.id_to_token, dtype=object))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -1,0 +1,240 @@
+"""Arrow-native parse/match batch: the hot path of stage 1.
+
+All heavy work runs in Arrow C++ kernels backed by RE2 — the SAME regex
+engine as the reference's Go ``regexp`` (golden dialect parity for free):
+
+  decode     list_flatten → take(vocab) → binary_join        (zero Python)
+  match      match_substring_regex / count_substring_regex    (RE2)
+  extract    extract_regex (first match, named groups,        (RE2)
+             non-participating group → "" like Go)
+
+Python touches only HIT rows (building the per-row name lists / match maps)
+— on real logs a few percent of rows — so per-row Python cost scales with
+matches, not input size. The pandas implementation in parse.py is kept as
+the portability fallback and A/B baseline.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from radar_log_parser_spark.config import (
+    LOG_LEVELS,
+    LOG_LEVELS_MAP,
+    LOG_LEVELS_RGX,
+    ConfigSpec,
+    severity_pattern,
+)
+
+ARROW_PARSED_SCHEMA = pa.schema(
+    [
+        pa.field("doc_id", pa.string()),
+        pa.field("source", pa.string()),
+        pa.field("line_no", pa.int64()),
+        pa.field("tokens", pa.list_(pa.int32())),
+        pa.field("n_tok", pa.int32()),
+        pa.field("text", pa.string()),
+        pa.field("procs", pa.list_(pa.string())),
+        pa.field("events", pa.list_(pa.string())),
+        pa.field("ngrp", pa.map_(pa.string(), pa.list_(pa.string()))),
+        pa.field("grp", pa.map_(pa.string(), pa.list_(pa.string()))),
+        pa.field("sev", pa.map_(pa.string(), pa.int32())),
+    ]
+)
+
+_NAMED_GROUP = re.compile(r"\(\?P<")
+
+
+class ArrowCompiledConfig:
+    """Pattern strings for RE2 kernels + Python-compiled fallbacks for the
+    hit-row detail work. Built once per executor process."""
+
+    def __init__(self, cfg: ConfigSpec):
+        self.procs = sorted(cfg.specific_process.items())
+        self.events = sorted(cfg.important_events.items())
+        self.ngrp = sorted(
+            (n, s.regex, re.compile(s.regex))
+            for n, s in cfg.issues.items()
+            if not s.grouped and s.regex
+        )
+        self.grp = []
+        for n, s in sorted(cfg.issues.items()):
+            if not s.grouped or not s.grouping:
+                continue
+            c = re.compile(s.grouping)
+            # pyarrow extract_regex needs every group named; Go SubexpNames
+            # allows unnamed → those fall back to Python re on hit rows only
+            all_named = len(c.groupindex) == c.groups
+            self.grp.append((n, s.grouping, c, all_named))
+        self.sev: dict[str, dict] = {}
+        for platform, levels in LOG_LEVELS.items():
+            rgx = LOG_LEVELS_RGX[platform]
+            letters = {LOG_LEVELS_MAP[platform][lv]: lv for lv in levels}
+            if rgx["start"] == "" and rgx["end"] == "":
+                # bare-letter platform (quirk Q8): literal char counts
+                self.sev[platform] = {"mode": "count", "letters": letters}
+            else:
+                combined = (
+                    rgx["start"] + "(?P<lvl>[" + "".join(sorted(letters)) + "])" + rgx["end"]
+                )
+                self.sev[platform] = {
+                    "mode": "extract",
+                    "pattern": combined,
+                    "letters": letters,
+                    "per_level": {
+                        lv: severity_pattern(platform, lv) for lv in levels
+                    },
+                }
+
+
+_COMPILED: dict[int, ArrowCompiledConfig] = {}
+
+
+def compiled(cfg: ConfigSpec) -> ArrowCompiledConfig:
+    cc = _COMPILED.get(id(cfg))
+    if cc is None:
+        cc = ArrowCompiledConfig(cfg)
+        _COMPILED[id(cfg)] = cc
+    return cc
+
+
+def decode_tokens(tokens: pa.Array, vocab_pa: pa.Array) -> pa.Array:
+    """list<int32> → string, entirely in Arrow C++."""
+    if isinstance(tokens, pa.ChunkedArray):
+        tokens = tokens.combine_chunks()
+    lengths = pc.list_value_length(tokens).to_numpy(zero_copy_only=False).astype(np.int64)
+    offsets = np.concatenate(([0], np.cumsum(lengths))).astype(np.int32)
+    flat = pc.list_flatten(tokens)
+    words = pc.take(vocab_pa, flat)
+    lists = pa.ListArray.from_arrays(pa.array(offsets), words)
+    return pc.binary_join(lists, " ")
+
+
+def _name_lists(text: pa.Array, patterns, n: int) -> list[list[str]]:
+    out: list[list[str]] = [[] for _ in range(n)]
+    for name, pat in patterns:
+        hits = pc.match_substring_regex(text, pat).to_numpy(zero_copy_only=False)
+        for i in np.flatnonzero(hits):
+            out[i].append(name)
+    return out
+
+
+def match_batch_arrow(batch: pa.RecordBatch, cfg: ConfigSpec, vocab_pa: pa.Array) -> pa.RecordBatch:
+    cc = compiled(cfg)
+    n = batch.num_rows
+    doc_id = batch.column(batch.schema.get_field_index("doc_id"))
+    source = batch.column(batch.schema.get_field_index("source"))
+    tokens = batch.column(batch.schema.get_field_index("tokens"))
+    n_tok = batch.column(batch.schema.get_field_index("n_tok"))
+
+    text = decode_tokens(tokens, vocab_pa)
+    line_no = pc.extract_regex(doc_id, r"(?P<ln>\d{6})$").field(0).cast(pa.int64())
+
+    procs = _name_lists(text, cc.procs, n)
+    events = _name_lists(text, cc.events, n)
+
+    txt_np: np.ndarray | None = None  # materialized lazily, only if hits exist
+
+    def texts() -> np.ndarray:
+        nonlocal txt_np
+        if txt_np is None:
+            txt_np = text.to_numpy(zero_copy_only=False)
+        return txt_np
+
+    # non-grouped issues: RE2 prefilter; Python finditer on hit rows only
+    # (FindAllString semantics: ALL match substrings per row, in order)
+    ngrp: list[dict[str, list[str]] | None] = [None] * n
+    for iname, pat, crgx in cc.ngrp:
+        hits = pc.match_substring_regex(text, pat).to_numpy(zero_copy_only=False)
+        idx = np.flatnonzero(hits)
+        if len(idx):
+            tn = texts()
+            for i in idx:
+                d = ngrp[i]
+                if d is None:
+                    d = {}
+                    ngrp[i] = d
+                d[iname] = [m.group(0) for m in crgx.finditer(tn[i])]
+
+    # grouped issues: first-match capture tuple per row (Go
+    # FindStringSubmatch); Arrow extract_regex when all groups are named
+    grp: list[dict[str, list[str]] | None] = [None] * n
+    for iname, pat, crgx, all_named in cc.grp:
+        if all_named:
+            ext = pc.extract_regex(text, pat)
+            valid = ext.is_valid().to_numpy(zero_copy_only=False)
+            idx = np.flatnonzero(valid)
+            if len(idx):
+                fields = [
+                    ext.field(g).to_numpy(zero_copy_only=False)
+                    for g in range(crgx.groups)
+                ]
+                for i in idx:
+                    d = grp[i]
+                    if d is None:
+                        d = {}
+                        grp[i] = d
+                    d[iname] = [f[i] for f in fields]
+        else:
+            hits = pc.match_substring_regex(text, pat).to_numpy(zero_copy_only=False)
+            idx = np.flatnonzero(hits)
+            if len(idx):
+                tn = texts()
+                for i in idx:
+                    m = crgx.search(tn[i])
+                    if m is None:
+                        continue
+                    d = grp[i]
+                    if d is None:
+                        d = {}
+                        grp[i] = d
+                    d[iname] = [g if g is not None else "" for g in m.groups()]
+
+    # severity, platform(=source)-dependent
+    sev: list[dict[str, int] | None] = [None] * n
+    src_np = source.to_numpy(zero_copy_only=False)
+    platforms = {p for p in np.unique(src_np) if p in cc.sev}
+    for platform in sorted(platforms):
+        conf = cc.sev[platform]
+        rows = np.flatnonzero(src_np == platform)
+        if conf["mode"] == "extract":
+            ext = pc.extract_regex(text, conf["pattern"])
+            valid = ext.is_valid().to_numpy(zero_copy_only=False)
+            letters = ext.field(0).to_numpy(zero_copy_only=False)
+            lmap = conf["letters"]
+            for i in rows:
+                if valid[i]:
+                    sev[i] = {lmap[letters[i]]: 1}
+        else:
+            counts = {
+                lv: pc.count_substring(text, letter).to_numpy(zero_copy_only=False)
+                for letter, lv in sorted(conf["letters"].items())
+            }
+            for i in rows:
+                d = {lv: int(c[i]) for lv, c in counts.items() if c[i] > 0}
+                if d:
+                    sev[i] = d
+
+    empty_map: dict = {}
+    map_ss = pa.map_(pa.string(), pa.list_(pa.string()))
+    map_si = pa.map_(pa.string(), pa.int32())
+    return pa.RecordBatch.from_arrays(
+        [
+            doc_id,
+            source,
+            line_no,
+            tokens,
+            n_tok,
+            text,
+            pa.array(procs, pa.list_(pa.string())),
+            pa.array(events, pa.list_(pa.string())),
+            pa.array([d if d is not None else empty_map for d in ngrp], map_ss),
+            pa.array([d if d is not None else empty_map for d in grp], map_ss),
+            pa.array([d if d is not None else empty_map for d in sev], map_si),
+        ],
+        schema=ARROW_PARSED_SCHEMA,
+    )

@@ -229,9 +229,13 @@ def write_scaled_fixture(
         f.write(FIXTURE_CONFIG_YAML)
 
     rng = np.random.default_rng(seed)
+    # directory of part files: the scan parallelizes across files (one
+    # 300 MB file = 5 splits; 64 files = every core busy)
     logs_path = os.path.join(out_dir, "logs.parquet")
-    writer = pq.ParquetWriter(logs_path, ARROW_SCHEMA, compression="snappy")
-    try:
+    os.makedirs(logs_path, exist_ok=True)
+    row_group_size = min(row_group_size, max(65536, n_rows // 64))
+    part = 0
+    if True:
         for source in sorted(corpus):
             pool = corpus[source]
             share = int(round(n_rows * len(pool) / len(all_lines)))
@@ -265,10 +269,13 @@ def write_scaled_fixture(
                     ],
                     schema=ARROW_SCHEMA,
                 )
-                writer.write_table(batch)
+                pq.write_table(
+                    batch,
+                    os.path.join(logs_path, f"part-{part:05d}.parquet"),
+                    compression="snappy",
+                )
+                part += 1
                 written += chunk
-    finally:
-        writer.close()
     return Fixture(logs_path, vocab_path, config_path, tuple(sorted(corpus)))
 
 

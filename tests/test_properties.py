@@ -107,3 +107,24 @@ def test_quirk_q1_lonelyproc_dropped(pipeline_result):
     }
     assert "LonelyProc" not in procs
     assert {"CameraService", "AudioFlinger"} <= procs
+
+
+def test_arrow_pandas_parse_parity(spark, cfg, vocab, fx):
+    """The Arrow/RE2 hot path and the pandas/Python-re fallback must produce
+    identical parse output (dialect parity within the RE2-linted subset)."""
+    from radar_log_parser_spark.functions.parse import parse_stage
+
+    def snapshot(impl):
+        df = parse_stage(spark.read.parquet(fx.logs_path), cfg, vocab, impl=impl)
+        rows = df.select("doc_id", "text", "procs", "events", "ngrp", "grp", "sev").collect()
+        return sorted(
+            (
+                r["doc_id"], r["text"], tuple(r["procs"]), tuple(r["events"]),
+                tuple(sorted((k, tuple(v)) for k, v in (r["ngrp"] or {}).items())),
+                tuple(sorted((k, tuple(v)) for k, v in (r["grp"] or {}).items())),
+                tuple(sorted((r["sev"] or {}).items())),
+            )
+            for r in rows
+        )
+
+    assert snapshot("arrow") == snapshot("pandas")
