@@ -8,10 +8,11 @@ engine as the reference's Go ``regexp`` (golden dialect parity for free):
   extract    extract_regex (first match, named groups,        (RE2)
              non-participating group → "" like Go)
 
-Python touches only HIT rows (building the per-row name lists / match maps)
-— on real logs a few percent of rows — so per-row Python cost scales with
-matches, not input size. The pandas implementation in parse.py is kept as
-the portability fallback and A/B baseline.
+Python touches only HIT rows (building the per-row match lists) — on real
+logs a few percent of rows — so per-row Python cost scales with matches,
+not input size. Output is the flat per-issue-column schema of
+functions/schema.py (no map columns: 3× cheaper to materialize and prune).
+The pandas implementation in parse.py is the portability fallback.
 """
 
 from __future__ import annotations
@@ -29,24 +30,7 @@ from radar_log_parser_spark.config import (
     ConfigSpec,
     severity_pattern,
 )
-
-ARROW_PARSED_SCHEMA = pa.schema(
-    [
-        pa.field("doc_id", pa.string()),
-        pa.field("source", pa.string()),
-        pa.field("line_no", pa.int64()),
-        pa.field("tokens", pa.list_(pa.int32())),
-        pa.field("n_tok", pa.int32()),
-        pa.field("text", pa.string()),
-        pa.field("procs", pa.list_(pa.string())),
-        pa.field("events", pa.list_(pa.string())),
-        pa.field("ngrp", pa.map_(pa.string(), pa.list_(pa.string()))),
-        pa.field("grp", pa.map_(pa.string(), pa.list_(pa.string()))),
-        pa.field("sev", pa.map_(pa.string(), pa.int32())),
-    ]
-)
-
-_NAMED_GROUP = re.compile(r"\(\?P<")
+from radar_log_parser_spark.functions.schema import parsed_arrow_schema
 
 
 class ArrowCompiledConfig:
@@ -85,9 +69,7 @@ class ArrowCompiledConfig:
                     "mode": "extract",
                     "pattern": combined,
                     "letters": letters,
-                    "per_level": {
-                        lv: severity_pattern(platform, lv) for lv in levels
-                    },
+                    "per_level": {lv: severity_pattern(platform, lv) for lv in levels},
                 }
 
 
@@ -114,13 +96,18 @@ def decode_tokens(tokens: pa.Array, vocab_pa: pa.Array) -> pa.Array:
     return pc.binary_join(lists, " ")
 
 
-def _name_lists(text: pa.Array, patterns, n: int) -> list[list[str]]:
+def _name_lists(text: pa.Array, patterns, n: int) -> pa.Array:
     out: list[list[str]] = [[] for _ in range(n)]
     for name, pat in patterns:
         hits = pc.match_substring_regex(text, pat).to_numpy(zero_copy_only=False)
         for i in np.flatnonzero(hits):
             out[i].append(name)
-    return out
+    return pa.array(out, pa.list_(pa.string()))
+
+
+def _list_array(counts: np.ndarray, values: list, value_type) -> pa.Array:
+    offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int32)
+    return pa.ListArray.from_arrays(pa.array(offsets), pa.array(values, value_type))
 
 
 def match_batch_arrow(batch: pa.RecordBatch, cfg: ConfigSpec, vocab_pa: pa.Array) -> pa.RecordBatch:
@@ -134,9 +121,6 @@ def match_batch_arrow(batch: pa.RecordBatch, cfg: ConfigSpec, vocab_pa: pa.Array
     text = decode_tokens(tokens, vocab_pa)
     line_no = pc.extract_regex(doc_id, r"(?P<ln>\d{6})$").field(0).cast(pa.int64())
 
-    procs = _name_lists(text, cc.procs, n)
-    events = _name_lists(text, cc.events, n)
-
     txt_np: np.ndarray | None = None  # materialized lazily, only if hits exist
 
     def texts() -> np.ndarray:
@@ -145,25 +129,58 @@ def match_batch_arrow(batch: pa.RecordBatch, cfg: ConfigSpec, vocab_pa: pa.Array
             txt_np = text.to_numpy(zero_copy_only=False)
         return txt_np
 
+    cols: list[pa.Array] = [
+        doc_id, source, line_no, tokens, n_tok, text,
+        _name_lists(text, cc.procs, n),
+        _name_lists(text, cc.events, n),
+    ]
+
+    # severity, platform(=source)-dependent → parallel (levels, counts)
+    sev_counts = np.zeros(n, dtype=np.int64)
+    sev_vals: list[list] = [[] for _ in range(n)]  # (level, count) per row
+    src_np = source.to_numpy(zero_copy_only=False)
+    for platform in sorted({p for p in np.unique(src_np) if p in cc.sev}):
+        conf = cc.sev[platform]
+        on_plat = src_np == platform
+        if conf["mode"] == "extract":
+            ext = pc.extract_regex(text, conf["pattern"])
+            valid = ext.is_valid().to_numpy(zero_copy_only=False)
+            letters = ext.field(0).to_numpy(zero_copy_only=False)
+            lmap = conf["letters"]
+            for i in np.flatnonzero(valid & on_plat):
+                sev_vals[i].append((lmap[letters[i]], 1))
+                sev_counts[i] += 1
+        else:
+            for letter, lv in sorted(conf["letters"].items()):
+                counts = pc.count_substring(text, letter).to_numpy(zero_copy_only=False)
+                for i in np.flatnonzero((counts > 0) & on_plat):
+                    sev_vals[i].append((lv, int(counts[i])))
+                    sev_counts[i] += 1
+    flat_levels = [lv for row in sev_vals for lv, _ in row]
+    flat_counts = [c for row in sev_vals for _, c in row]
+    cols.append(_list_array(sev_counts, flat_levels, pa.string()))
+    cols.append(_list_array(sev_counts, flat_counts, pa.int32()))
+
     # non-grouped issues: RE2 prefilter; Python finditer on hit rows only
     # (FindAllString semantics: ALL match substrings per row, in order)
-    ngrp: list[dict[str, list[str]] | None] = [None] * n
     for iname, pat, crgx in cc.ngrp:
+        counts = np.zeros(n, dtype=np.int64)
+        values: list[str] = []
         hits = pc.match_substring_regex(text, pat).to_numpy(zero_copy_only=False)
         idx = np.flatnonzero(hits)
         if len(idx):
             tn = texts()
             for i in idx:
-                d = ngrp[i]
-                if d is None:
-                    d = {}
-                    ngrp[i] = d
-                d[iname] = [m.group(0) for m in crgx.finditer(tn[i])]
+                ms = [m.group(0) for m in crgx.finditer(tn[i])]
+                counts[i] = len(ms)
+                values.extend(ms)
+        cols.append(_list_array(counts, values, pa.string()))
 
     # grouped issues: first-match capture tuple per row (Go
     # FindStringSubmatch); Arrow extract_regex when all groups are named
-    grp: list[dict[str, list[str]] | None] = [None] * n
     for iname, pat, crgx, all_named in cc.grp:
+        counts = np.zeros(n, dtype=np.int64)
+        values: list[str] = []
         if all_named:
             ext = pc.extract_regex(text, pat)
             valid = ext.is_valid().to_numpy(zero_copy_only=False)
@@ -173,12 +190,9 @@ def match_batch_arrow(batch: pa.RecordBatch, cfg: ConfigSpec, vocab_pa: pa.Array
                     ext.field(g).to_numpy(zero_copy_only=False)
                     for g in range(crgx.groups)
                 ]
+                counts[idx] = crgx.groups
                 for i in idx:
-                    d = grp[i]
-                    if d is None:
-                        d = {}
-                        grp[i] = d
-                    d[iname] = [f[i] for f in fields]
+                    values.extend(f[i] for f in fields)
         else:
             hits = pc.match_substring_regex(text, pat).to_numpy(zero_copy_only=False)
             idx = np.flatnonzero(hits)
@@ -188,53 +202,8 @@ def match_batch_arrow(batch: pa.RecordBatch, cfg: ConfigSpec, vocab_pa: pa.Array
                     m = crgx.search(tn[i])
                     if m is None:
                         continue
-                    d = grp[i]
-                    if d is None:
-                        d = {}
-                        grp[i] = d
-                    d[iname] = [g if g is not None else "" for g in m.groups()]
+                    counts[i] = crgx.groups
+                    values.extend(g if g is not None else "" for g in m.groups())
+        cols.append(_list_array(counts, values, pa.string()))
 
-    # severity, platform(=source)-dependent
-    sev: list[dict[str, int] | None] = [None] * n
-    src_np = source.to_numpy(zero_copy_only=False)
-    platforms = {p for p in np.unique(src_np) if p in cc.sev}
-    for platform in sorted(platforms):
-        conf = cc.sev[platform]
-        rows = np.flatnonzero(src_np == platform)
-        if conf["mode"] == "extract":
-            ext = pc.extract_regex(text, conf["pattern"])
-            valid = ext.is_valid().to_numpy(zero_copy_only=False)
-            letters = ext.field(0).to_numpy(zero_copy_only=False)
-            lmap = conf["letters"]
-            for i in rows:
-                if valid[i]:
-                    sev[i] = {lmap[letters[i]]: 1}
-        else:
-            counts = {
-                lv: pc.count_substring(text, letter).to_numpy(zero_copy_only=False)
-                for letter, lv in sorted(conf["letters"].items())
-            }
-            for i in rows:
-                d = {lv: int(c[i]) for lv, c in counts.items() if c[i] > 0}
-                if d:
-                    sev[i] = d
-
-    empty_map: dict = {}
-    map_ss = pa.map_(pa.string(), pa.list_(pa.string()))
-    map_si = pa.map_(pa.string(), pa.int32())
-    return pa.RecordBatch.from_arrays(
-        [
-            doc_id,
-            source,
-            line_no,
-            tokens,
-            n_tok,
-            text,
-            pa.array(procs, pa.list_(pa.string())),
-            pa.array(events, pa.list_(pa.string())),
-            pa.array([d if d is not None else empty_map for d in ngrp], map_ss),
-            pa.array([d if d is not None else empty_map for d in grp], map_ss),
-            pa.array([d if d is not None else empty_map for d in sev], map_si),
-        ],
-        schema=ARROW_PARSED_SCHEMA,
-    )
+    return pa.RecordBatch.from_arrays(cols, schema=parsed_arrow_schema(cfg))

@@ -105,18 +105,42 @@ def field_contents(
                 "source", "issue", "proc_rank", "line_no", "match_pos",
                 F.regexp_extract_all("subject", F.lit(pat), 0).alias("hits"),
             )
-            agg = per_row.groupBy("source", "issue").agg(
-                F.sum(F.size("hits")).alias("n"),
+            # Two-level ordered aggregation: a single collect_list+sort per
+            # (source, issue) would funnel every match through ONE reducer
+            # (measured: the serial tail that killed N→4N scaling). Level 1
+            # buckets by (proc_rank, line_no div B) — consistent with the
+            # scan order — and builds per-bucket strings in parallel; level
+            # 2 merges the few bucket strings in order.
+            bucket = F.floor(F.col("line_no") / F.lit(65536)).alias("line_bucket")
+            lvl1 = (
+                per_row.withColumn("line_bucket", bucket)
+                .groupBy("source", "issue", "proc_rank", "line_bucket")
+                .agg(
+                    F.sum(F.size("hits")).alias("n_part"),
+                    F.array_join(
+                        F.flatten(
+                            F.transform(
+                                F.array_sort(
+                                    F.collect_list(F.struct("line_no", "match_pos", "hits"))
+                                ),
+                                lambda s: s["hits"],
+                            )
+                        ),
+                        "\n",
+                    ).alias("joined_part"),
+                )
+                .filter(F.col("n_part") > 0)
+            )
+            agg = lvl1.groupBy("source", "issue").agg(
+                F.sum("n_part").alias("n"),
                 F.array_join(
-                    F.flatten(
-                        F.transform(
-                            F.array_sort(
-                                F.collect_list(
-                                    F.struct("proc_rank", "line_no", "match_pos", "hits")
-                                )
-                            ),
-                            lambda s: s["hits"],
-                        )
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("proc_rank", "line_bucket", "joined_part")
+                            )
+                        ),
+                        lambda s: s["joined_part"],
                     ),
                     "\n",
                 ).alias("joined"),
@@ -196,7 +220,14 @@ def assemble_summary(
                         m = ts_rgx.search(o["last_match"])
                         if m:
                             timestamp = m.group(0)
-                    fmap = dict(fields.get(key, {}))
+                    # a field with zero hits still renders "0 :  " when the
+                    # issue itself matched (getFieldContent on no matches)
+                    fnames = sorted(
+                        set(cfg.general.other_fields) | set(spec.additional_fields)
+                    )
+                    fmap = {
+                        f: fields.get(key, {}).get(f, "0 :  ") for f in fnames
+                    }
                 # non-grouped fields only exist when matches exist
                 # (analyzeLog.go:280-303)
             rows.append(

@@ -66,21 +66,50 @@ def issue_process_map(spark: SparkSession, cfg: ConfigSpec) -> DataFrame:
     return spark.createDataFrame(rows, "issue string, process string, proc_rank int, grouped boolean")
 
 
-def scoped_direct(parsed: DataFrame, kept: DataFrame, ipmap: DataFrame) -> DataFrame:
+def scoped_direct(
+    parsed: DataFrame, kept: DataFrame, ipmap: DataFrame, cfg: ConfigSpec
+) -> DataFrame:
     """F2 issue scoping with Q2 semantics: an issue's search space is the
     concatenation of its kept processes' sub-logs and NOTHING else
     (reference: analyzeLog.go:156-178; the local re-scan cache there is dead
     code — see SURVEY.md quirk Q2). Computed straight from the parsed stage:
     explode procs → Q1 keep-rule broadcast join → issue→process broadcast
-    join. No wide shuffle anywhere."""
+    join. No wide shuffle anywhere.
+
+    The per-issue match columns collapse to two narrow arrays here (a
+    config-sized CASE, codegen'd), so the scope frame's width no longer
+    depends on the config — cheap to checkpoint/cache."""
+    from radar_log_parser_spark.functions.schema import (
+        grp_col,
+        grp_issue_names,
+        ngrp_col,
+        ngrp_issue_names,
+    )
+
+    keep_cols = ["source", "doc_id", "line_no", "tokens", "n_tok", "text"]
     exploded = parsed.select(
-        "source", F.explode("procs").alias("process"),
-        "doc_id", "line_no", "tokens", "n_tok", "text", "ngrp", "grp",
+        *keep_cols,
+        F.explode("procs").alias("process"),
+        *[F.col(ngrp_col(n)) for n in ngrp_issue_names(cfg)],
+        *[F.col(grp_col(n)) for n in grp_issue_names(cfg)],
     )
     kept_rows = exploded.join(
         F.broadcast(kept.select("source", "process")), ["source", "process"], "inner"
     )
-    return kept_rows.join(F.broadcast(ipmap), "process", "inner")
+    scope = kept_rows.join(F.broadcast(ipmap), "process", "inner")
+
+    def case_over(names, col_of):
+        expr = F.lit(None).cast("array<string>")
+        for n in names:
+            expr = F.when(F.col("issue") == n, F.col(col_of(n))).otherwise(expr)
+        return expr
+
+    return scope.select(
+        "source", "process", "issue", "proc_rank", "grouped",
+        "doc_id", "line_no", "tokens", "n_tok", "text",
+        case_over(ngrp_issue_names(cfg), ngrp_col).alias("match_arr"),
+        case_over(grp_issue_names(cfg), grp_col).alias("grp_arr"),
+    )
 
 
 def other_routed(scope: DataFrame) -> DataFrame:
@@ -93,7 +122,7 @@ def other_routed(scope: DataFrame) -> DataFrame:
         .select(
             "source", "issue", "process", "proc_rank", "doc_id", "line_no",
             "tokens", "text",
-            F.posexplode(F.element_at("ngrp", F.col("issue"))).alias("match_pos", "match"),
+            F.posexplode("match_arr").alias("match_pos", "match"),
         )
     )
 
@@ -103,11 +132,8 @@ def grouped_routed(scope: DataFrame) -> DataFrame:
     key, groups 2.. the detail tuple (reference: fillGroupDetails,
     analyzeLog.go:233-257; the ≥2-capture-group gate is enforced at parse
     time and by config validation)."""
-    arr = F.element_at("grp", F.col("issue"))
     return (
-        scope.filter(F.col("grouped"))
-        .withColumn("grp_arr", arr)
-        .filter(F.col("grp_arr").isNotNull())
+        scope.filter(F.col("grouped") & (F.size("grp_arr") > 0))
         .select(
             "source", "issue", "process", "proc_rank", "doc_id", "line_no",
             "tokens", "text",
@@ -146,5 +172,9 @@ def severity_sink(parsed: DataFrame) -> DataFrame:
     bare-letter path (quirk Q8)."""
     return parsed.select(
         "source", "doc_id", "line_no",
-        F.explode("sev").alias("level", "n_matches"),
+        F.explode(F.arrays_zip("sev_levels", "sev_counts")).alias("s"),
+    ).select(
+        "source", "doc_id", "line_no",
+        F.col("s.sev_levels").alias("level"),
+        F.col("s.sev_counts").alias("n_matches"),
     )

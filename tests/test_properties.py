@@ -34,7 +34,7 @@ def test_partition_invariance(spark, cfg, vocab, fx):
         parsed = parse_stage(raw, cfg, vocab)
         kept = routing.kept_processes(parsed)
         ipmap = routing.issue_process_map(spark, cfg)
-        scope = routing.scoped_direct(parsed, kept, ipmap)
+        scope = routing.scoped_direct(parsed, kept, ipmap, cfg)
         other = routing.other_routed(scope)
         rows = agg.other_issue_aggs(other).collect()
         return sorted(
@@ -116,14 +116,10 @@ def test_arrow_pandas_parse_parity(spark, cfg, vocab, fx):
 
     def snapshot(impl):
         df = parse_stage(spark.read.parquet(fx.logs_path), cfg, vocab, impl=impl)
-        rows = df.select("doc_id", "text", "procs", "events", "ngrp", "grp", "sev").collect()
+        cols = [c for c in df.columns if c not in ("tokens", "n_tok")]
+        rows = df.select(*cols).collect()
         return sorted(
-            (
-                r["doc_id"], r["text"], tuple(r["procs"]), tuple(r["events"]),
-                tuple(sorted((k, tuple(v)) for k, v in (r["ngrp"] or {}).items())),
-                tuple(sorted((k, tuple(v)) for k, v in (r["grp"] or {}).items())),
-                tuple(sorted((r["sev"] or {}).items())),
-            )
+            tuple(tuple(v) if isinstance(v, list) else v for v in r)
             for r in rows
         )
 
