@@ -86,12 +86,24 @@ def run_pipeline_bench(sf_dir: str, cpus: int, n_rows: int | None = None, repeat
         spark.read.parquet(logs).sample(0.05, seed=1), cfg, vocab
     ).write.format("noop").mode("overwrite").save()
 
+    from concurrent.futures import ThreadPoolExecutor
+
     def once() -> float:
         t0 = time.monotonic()
         res = Pipeline(spark, cfg, vocab, logs, checkpoint=False).run()
-        for name in ("specific_issues", "other_routed", "grouped_routed", "events", "severity"):
-            res.sinks[name].write.format("noop").mode("overwrite").save()
-        res.sinks["grouped_issues"].collect()
+        # multi-sink fan-out: submit the five sink writes concurrently (the
+        # intermediates are eagerly materialized, so no duplicated compute)
+        with ThreadPoolExecutor(max_workers=6) as pool:
+            futs = [
+                pool.submit(
+                    res.sinks[name].write.format("noop").mode("overwrite").save
+                )
+                for name in ("specific_issues", "other_routed", "grouped_routed",
+                             "events", "severity")
+            ]
+            futs.append(pool.submit(res.sinks["grouped_issues"].collect))
+            for f in futs:
+                f.result()
         res.sinks["summary"].collect()
         dt = time.monotonic() - t0
         res.sinks["parsed"].unpersist(blocking=True)

@@ -226,11 +226,13 @@ class Pipeline:
         )
         if self.ckpt is None:
             # unchechpointed (bench) mode: the parse UDF feeds five sinks —
-            # materialize it once. localCheckpoint (row-format RDD blocks)
-            # builds ~8× faster than the SQL columnar cache for this wide
-            # array-heavy schema and reads just as fast; production
-            # resumability uses the real parquet checkpoints instead.
-            parsed = parsed.localCheckpoint(eager=False)
+            # materialize it once, EAGERLY. localCheckpoint (row-format RDD
+            # blocks) builds ~8× faster than the SQL columnar cache for this
+            # wide array-heavy schema and reads just as fast; eager so the
+            # concurrent consumers below never race to compute the same
+            # partition twice. Production resumability uses the real parquet
+            # checkpoints instead.
+            parsed = parsed.localCheckpoint(eager=True)
 
         kept = routing.kept_processes(parsed)
         ipmap = routing.issue_process_map(spark, cfg)
@@ -248,7 +250,7 @@ class Pipeline:
             bucket_by="doc_id",
         )
         if self.ckpt is None:
-            scope = scope.localCheckpoint(eager=False)
+            scope = scope.localCheckpoint(eager=True)
         other = self._stage(
             "other_routed",
             lambda: routing.other_routed(scope),
@@ -283,21 +285,25 @@ class Pipeline:
 
         self.timings: dict[str, float] = {}
 
-        def timed(name, fn):
-            t0 = time.monotonic()
-            r = fn()
-            self.timings[name] = round(time.monotonic() - t0, 2)
-            return r
+        # the four summary inputs are independent jobs over materialized
+        # intermediates — submit them concurrently so the cluster stays busy
+        # (driver-side sequencing was a measurable serial tail)
+        from concurrent.futures import ThreadPoolExecutor
 
-        sources = [
-            r["source"]
-            for r in timed("sources", lambda: raw.select("source").distinct().collect())
-        ]
-        oa_rows = timed("other_aggs", other_aggs.collect)
-        gt_rows = timed("grouped_totals", g_totals.collect)
-        f_rows = timed(
-            "fields", fields.collect if fields is not None else list
-        )
+        def collect_sources():
+            return [r["source"] for r in raw.select("source").distinct().collect()]
+
+        t0 = time.monotonic()
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            f_sources = pool.submit(collect_sources)
+            f_oa = pool.submit(other_aggs.collect)
+            f_gt = pool.submit(g_totals.collect)
+            f_fields = pool.submit(fields.collect if fields is not None else list)
+            sources = f_sources.result()
+            oa_rows = f_oa.result()
+            gt_rows = f_gt.result()
+            f_rows = f_fields.result()
+        self.timings["summary_inputs"] = round(time.monotonic() - t0, 2)
         summary = agg.assemble_summary(spark, cfg, sources, oa_rows, gt_rows, f_rows)
         if self.ckpt is not None:
             fp = _fingerprint(self._root_fp, "summary", "other_routed", "grouped_routed")
