@@ -321,3 +321,97 @@ ImportantEvents:
   Boot: '(?m)^.*BOOT_COMPLETED.*$'
   Crash: '(?m)^.*FATAL EXCEPTION.*$'
 """
+
+# Bench config: a realistic radar config is dozens of patterns (the
+# reference's production YAMLs configure one regex per known issue); the
+# golden fixture config above stays minimal for test readability, while the
+# bench pipeline uses this superset so the measured workload is
+# regex-compute-dominated like production. Some patterns intentionally never
+# match (scan cost without routed rows — typical of issue catalogs).
+BENCH_CONFIG_YAML = FIXTURE_CONFIG_YAML.replace(
+    "SpecificProcess:\n",
+    """\
+SpecificProcess:
+  MediaServer: '(?m)^.*MediaServer.*$'
+  WifiService: '(?m)^.*WifiService.*$'
+  SensorHub: '(?m)^.*SensorHub.*$'
+  BatteryMgr: '(?m)^.*BatteryMgr.*$'
+  Netd: '(?m)^.*Netd.*$'
+  ActivityManager: '(?m)^.*ActivityManager.*$'
+  KernelOops: '(?m)^.*kernel oops.*$'
+  Thermald: '(?m)^.*thermald.*$'
+""",
+).replace(
+    "Issues:\n",
+    """\
+Issues:
+  TranscodeState:
+    specific_process:
+      MediaServer: '(?m)^.*MediaServer.*$'
+    regex: '(?m)^.*transcode job.*$'
+    detailing_mode: 'group'
+    grouping: 'transcode job (?P<State>\\w+) id=(?P<Id>\\d+)'
+  RssiDrop:
+    specific_process:
+      WifiService: '(?m)^.*WifiService.*$'
+    regex: '(?m)^.*rssi changed.*$'
+    detailing_mode: 'group'
+    grouping: 'rssi changed to (?P<Rssi>-\\d+) (?P<Unit>dbm)'
+  SensorBatch:
+    specific_process:
+      SensorHub: '(?m)^.*SensorHub.*$'
+    regex: '(?m)^.*batch flushed.*$'
+    detailing_mode: 'separate'
+    additional_fields:
+      Sensor: 'sensor=\\d+'
+  BatteryTemp:
+    specific_process:
+      BatteryMgr: '(?m)^.*BatteryMgr.*$'
+    regex: '(?m)^.*temperature (?:3[0-9][0-9]|[4-9][0-9][0-9]).*$'
+    detailing_mode: 'separate'
+  FirewallChurn:
+    specific_process:
+      Netd: '(?m)^.*Netd.*$'
+    regex: '(?m)^.*iptables rule (?:added|removed).*$'
+    detailing_mode: 'group'
+    grouping: 'iptables rule (?P<Op>added|removed) chain=(?P<Chain>\\w+)'
+  ProcDeath:
+    specific_process:
+      ActivityManager: '(?m)^.*ActivityManager.*$'
+    regex: '(?m)^.*proc died.*$'
+    detailing_mode: 'separate'
+    additional_fields:
+      Pid: 'pid=\\d+'
+  WatchdogBark:
+    specific_process:
+      ActivityManager: '(?m)^.*ActivityManager.*$'
+    regex: '(?m)^.*watchdog bark.*$'
+    detailing_mode: 'separate'
+  NeverMatches:
+    specific_process:
+      CameraService: '(?m)^.*CameraService.*$'
+      AudioFlinger: '(?m)^.*AudioFlinger.*$'
+    regex: '(?m)^.*segmentation fault at 0x[0-9a-f]+.*$'
+    detailing_mode: 'separate'
+""",
+).replace(
+    "Priority:\n",
+    """\
+Priority:
+  TranscodeState: 1
+  RssiDrop: 1
+  SensorBatch: 1
+  BatteryTemp: 2
+  FirewallChurn: 1
+  ProcDeath: 3
+  WatchdogBark: 3
+  NeverMatches: 0
+""",
+).replace(
+    "ImportantEvents:\n",
+    """\
+ImportantEvents:
+  Panic: '(?m)^.*kernel panic.*$'
+  Thermal: '(?m)^.*thermal shutdown.*$'
+""",
+)
