@@ -97,6 +97,19 @@ class ConfigSpec:
             _lint_pattern(f"SpecificProcess.{name}", rgx)
         for name, rgx in self.important_events.items():
             _lint_pattern(f"ImportantEvents.{name}", rgx)
+            # Full-line anchoring required: the reference resolves event
+            # MATCH STRINGS through a text→line-number map (details.go:
+            # 158-161,177), so a substring match misses the map and lands
+            # on line 0 — almost certainly a config author's bug. We lint
+            # it away instead of reproducing the silent line-0 artifact
+            # (same fail-fast family as the Q11 inversion above).
+            if not (rgx.startswith("(?m)^") and rgx.endswith("$")):
+                raise ConfigError(
+                    f"ImportantEvents.{name!r} must be full-line anchored "
+                    f"('(?m)^…$'): the reference maps event matches back to "
+                    f"lines by exact text, so a substring pattern would "
+                    f"silently report line 0: {rgx!r}"
+                )
         if self.general.timestamp:
             _lint_pattern("IssuesGeneralFields.Timestamp", self.general.timestamp)
         if self.general.log_level:

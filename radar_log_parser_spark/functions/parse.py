@@ -68,15 +68,17 @@ class CompiledConfig:
         }
 
 
-_COMPILED: dict[int, CompiledConfig] = {}
+# keyed by id(cfg) but the entry RETAINS cfg (see parse_arrow.py: prevents
+# address reuse after GC from serving stale compiled patterns)
+_COMPILED: dict[int, tuple[ConfigSpec, CompiledConfig]] = {}
 
 
 def _compiled(cfg: ConfigSpec) -> CompiledConfig:
-    cc = _COMPILED.get(id(cfg))
-    if cc is None:
-        cc = CompiledConfig(cfg)
-        _COMPILED[id(cfg)] = cc
-    return cc
+    ent = _COMPILED.get(id(cfg))
+    if ent is None or ent[0] is not cfg:
+        ent = (cfg, CompiledConfig(cfg))
+        _COMPILED[id(cfg)] = ent
+    return ent[1]
 
 
 def _decode_batch(tokens: pd.Series, vocab_arr: np.ndarray) -> pd.Series:

@@ -73,15 +73,18 @@ class ArrowCompiledConfig:
                 }
 
 
-_COMPILED: dict[int, ArrowCompiledConfig] = {}
+# keyed by id(cfg) but the entry RETAINS cfg: without the reference, a GC'd
+# config's address could be reused by a different config on a long-lived
+# worker, silently serving stale compiled patterns
+_COMPILED: dict[int, tuple[ConfigSpec, ArrowCompiledConfig]] = {}
 
 
 def compiled(cfg: ConfigSpec) -> ArrowCompiledConfig:
-    cc = _COMPILED.get(id(cfg))
-    if cc is None:
-        cc = ArrowCompiledConfig(cfg)
-        _COMPILED[id(cfg)] = cc
-    return cc
+    ent = _COMPILED.get(id(cfg))
+    if ent is None or ent[0] is not cfg:
+        ent = (cfg, ArrowCompiledConfig(cfg))
+        _COMPILED[id(cfg)] = ent
+    return ent[1]
 
 
 def decode_tokens(tokens: pa.Array, vocab_pa: pa.Array) -> pa.Array:
@@ -119,7 +122,11 @@ def match_batch_arrow(batch: pa.RecordBatch, cfg: ConfigSpec, vocab_pa: pa.Array
     n_tok = batch.column(batch.schema.get_field_index("n_tok"))
 
     text = decode_tokens(tokens, vocab_pa)
-    line_no = pc.extract_regex(doc_id, r"(?P<ln>\d{6})$").field(0).cast(pa.int64())
+    # digits after the LAST '-' (ingest writes {line:06d}, which grows past 6
+    # digits beyond 1M lines/file — a fixed {6} here silently truncated the
+    # ordinal and corrupted every order-sensitive aggregate; parity with the
+    # pandas path's rsplit("-", 1))
+    line_no = pc.extract_regex(doc_id, r"-(?P<ln>\d+)$").field(0).cast(pa.int64())
 
     txt_np: np.ndarray | None = None  # materialized lazily, only if hits exist
 

@@ -25,12 +25,23 @@ from radar_log_parser_spark.config import ConfigSpec
 
 def _ord():
     """Scan-order key: reproduces the reference's issueContent string order
-    (process blocks name-asc per Q3, lines by ordinal, matches left-to-right)."""
-    return F.struct("proc_rank", "line_no", "match_pos")
+    (process blocks name-asc per Q3, lines by ordinal, matches left-to-right).
+
+    Packed into ONE BIGINT — min_by/max_by over a struct key drops the
+    aggregate into interpreted struct ordering (measured ~5× slower).
+    Bounds: proc_rank < 2^10 processes/issue, line_no < 2^33 lines/file,
+    match_pos < 2^20 matches/line; config lint bounds the process lists and
+    the reference's own input cap (10 MiB uploads) keeps files far under
+    2^33 lines."""
+    return (
+        F.col("proc_rank").cast("long") * F.lit(1 << 53)
+        + F.col("line_no") * F.lit(1 << 20)
+        + F.col("match_pos")
+    )
 
 
 def _line_ord():
-    return F.struct("proc_rank", "line_no")
+    return F.col("proc_rank").cast("long") * F.lit(1 << 53) + F.col("line_no") * F.lit(1 << 20)
 
 
 def other_issue_aggs(other_routed: DataFrame) -> DataFrame:
@@ -70,90 +81,140 @@ def grouped_totals(grouped_routed: DataFrame) -> DataFrame:
     )
 
 
-def field_contents(
-    cfg: ConfigSpec,
-    other_routed: DataFrame,
-    scope: DataFrame,
-) -> DataFrame:
+def field_subjects(scope: DataFrame) -> DataFrame:
+    """The per-row field-scan subjects, built in ONE pass over the scoped
+    frame. Quirk Q10 asymmetry (replicated exactly): non-grouped fields scan
+    the MATCH SUBSTRINGS (analyzeLog.go:279,289-297, one subject per match);
+    grouped fields scan the FULL scoped content — every scoped line,
+    matching or not (analyzeLog.go:222-231)."""
+    # two plain codegen'd branches + union — building the subjects with a
+    # single when(grouped, array(struct…))/transform/explode expression
+    # dropped the plan into interpreted higher-order evaluation (measured
+    # 4× slower than two passes over the scope)
+    g = scope.filter(F.col("grouped")).select(
+        "source", "issue", "proc_rank", "line_no",
+        F.lit(0).alias("match_pos"), F.col("text").alias("subject"),
+    )
+    ng = scope.filter(~F.col("grouped")).select(
+        "source", "issue", "proc_rank", "line_no",
+        F.posexplode("match_arr").alias("match_pos", "subject"),
+    )
+    return g.unionByName(ng)
+
+
+def field_contents(cfg: ConfigSpec, scope: DataFrame) -> DataFrame:
     """A4/F5 per-issue field extraction → (source, issue, field, n, joined).
 
-    Quirk Q10 asymmetry (replicated exactly): non-grouped fields scan the
-    JOINED MATCH STRINGS (analyzeLog.go:279,289-297); grouped fields scan the
-    FULL scoped content — every scoped line, matching or not
-    (analyzeLog.go:222-231).
+    SINGLE PASS over the scoped frame for EVERY (issue, field) pair: one
+    plan per pair (the previous design) re-scanned the materialized scope
+    once per pair — 13 passes on the bench config, the dominant wall-time
+    at 8M rows and a guaranteed scale-killer at 100 TB. Here each pair is a
+    `when(issue == …)` guarded regexp_extract_all column (codegen evaluates
+    only the owning issue's extracts per row), aggregated in one two-level
+    shuffle and unpivoted with `stack`.
+
+    Two-level ordered aggregation: a single collect_list+sort per
+    (source, issue) would funnel every match through ONE reducer. Level 1
+    buckets by (proc_rank, line_no div 65536) — consistent with the scan
+    order — and builds per-bucket strings in parallel; level 2 merges the
+    few bucket strings in order.
     """
-    parts: list[DataFrame] = []
+    pairs: list[tuple[str, str, str]] = []  # (issue, field, pattern)
     for iname in sorted(cfg.issues):
         spec = cfg.issues[iname]
         fields = dict(cfg.general.other_fields)
         fields.update(spec.additional_fields)
-        if not fields:
-            continue
-        if spec.grouped:
-            base = scope.filter(F.col("issue") == iname).select(
-                "source", "issue", "proc_rank", "line_no",
-                F.lit(0).alias("match_pos"), F.col("text").alias("subject"),
-            )
-        else:
-            base = other_routed.filter(F.col("issue") == iname).select(
-                "source", "issue", "proc_rank", "line_no", "match_pos",
-                F.col("match").alias("subject"),
-            )
         for fname in sorted(fields):
-            pat = fields[fname]
-            per_row = base.select(
-                "source", "issue", "proc_rank", "line_no", "match_pos",
-                F.regexp_extract_all("subject", F.lit(pat), 0).alias("hits"),
-            )
-            # Two-level ordered aggregation: a single collect_list+sort per
-            # (source, issue) would funnel every match through ONE reducer
-            # (measured: the serial tail that killed N→4N scaling). Level 1
-            # buckets by (proc_rank, line_no div B) — consistent with the
-            # scan order — and builds per-bucket strings in parallel; level
-            # 2 merges the few bucket strings in order.
-            bucket = F.floor(F.col("line_no") / F.lit(65536)).alias("line_bucket")
-            lvl1 = (
-                per_row.withColumn("line_bucket", bucket)
-                .groupBy("source", "issue", "proc_rank", "line_bucket")
-                .agg(
-                    F.sum(F.size("hits")).alias("n_part"),
-                    F.array_join(
-                        F.flatten(
-                            F.transform(
-                                F.array_sort(
-                                    F.collect_list(F.struct("line_no", "match_pos", "hits"))
-                                ),
-                                lambda s: s["hits"],
-                            )
-                        ),
-                        "\n",
-                    ).alias("joined_part"),
-                )
-                .filter(F.col("n_part") > 0)
-            )
-            agg = lvl1.groupBy("source", "issue").agg(
-                F.sum("n_part").alias("n"),
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(
-                                F.struct("proc_rank", "line_bucket", "joined_part")
-                            )
-                        ),
-                        lambda s: s["joined_part"],
-                    ),
-                    "\n",
-                ).alias("joined"),
-            )
-            parts.append(agg.select(
-                "source", "issue", F.lit(fname).alias("field"), "n", "joined"
-            ))
-    if not parts:
+            pairs.append((iname, fname, fields[fname]))
+    if not pairs:
         return None  # type: ignore[return-value]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+
+    subj = field_subjects(scope)
+    per_row = subj.select(
+        "source", "issue", "proc_rank", "line_no", "match_pos",
+        *[
+            F.when(
+                F.col("issue") == iname,
+                F.regexp_extract_all("subject", F.lit(pat), 0),
+            ).alias(f"h{k}")
+            for k, (iname, _f, pat) in enumerate(pairs)
+        ],
+    )
+    bucket = F.floor(F.col("line_no") / F.lit(65536)).alias("line_bucket")
+    # scalar packed sort key: sorting structs that CONTAIN the hit arrays
+    # forces an interpreted ordering over nested types (measured: the lvl1
+    # sort dominated the whole pipeline). (line_no, match_pos) packs into
+    # one BIGINT — match_pos < 2^20 matches/line, line_no < 2^43 — and the
+    # per-row hits pre-join to a single string, so the sorted structs are
+    # (bigint, string): binary-comparable, codegen'd.
+    row_ord = (F.col("line_no") * F.lit(1 << 20) + F.col("match_pos")).alias("ord")
+    aggs1 = []
+    for k in range(len(pairs)):
+        h = F.col(f"h{k}")
+        aggs1.append(F.sum(F.size(h)).alias(f"n{k}"))
+        # collect_list skips the null produced by the un-otherwise'd when()
+        # on rows of a different issue / zero-hit rows, so only owning,
+        # matching rows enter the sort buffer
+        aggs1.append(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.size(h) > 0,
+                                F.struct(
+                                    F.col("ord"),
+                                    F.array_join(h, "\n").alias("s"),
+                                ),
+                            )
+                        )
+                    ),
+                    lambda s: s["s"],
+                ),
+                "\n",
+            ).alias(f"j{k}")
+        )
+    lvl1 = per_row.withColumn("ord", row_ord).groupBy(
+        "source", "issue", "proc_rank", bucket
+    ).agg(*aggs1)
+
+    aggs2 = []
+    for k in range(len(pairs)):
+        aggs2.append(F.sum(F.col(f"n{k}")).alias(f"N{k}"))
+        # zero-hit buckets must not contribute empty lines to the join
+        aggs2.append(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col(f"n{k}") > 0,
+                                F.struct(
+                                    "proc_rank", "line_bucket",
+                                    F.col(f"j{k}").alias("jp"),
+                                ),
+                            )
+                        )
+                    ),
+                    lambda s: s["jp"],
+                ),
+                "\n",
+            ).alias(f"J{k}")
+        )
+    lvl2 = lvl1.groupBy("source", "issue").agg(*aggs2)
+
+    stack_args = ", ".join(
+        f"'{fname}', N{k}, J{k}" for k, (_i, fname, _p) in enumerate(pairs)
+    )
+    return (
+        lvl2.select(
+            "source", "issue",
+            F.expr(f"stack({len(pairs)}, {stack_args}) as (field, n, joined)"),
+        )
+        # null n = pair belongs to a different issue; 0 = issue scoped but the
+        # field never hit (the reference renders those as "0 :  " downstream)
+        .filter(F.col("n") > 0)
+    )
 
 
 def assemble_summary(

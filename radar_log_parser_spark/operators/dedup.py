@@ -6,21 +6,15 @@ Scale design: the exact pairwise queries are CORRECTNESS BASELINES (oracle-
 checkable, O(n²) — run at small sf only); the production path at 10^12 rows
 is MinHash+LSH (shingle → minhash signature → band → bucket join →
 candidate verify), which shuffles only O(n·bands) rows and verifies only
-bucket-colliding candidates. All hashing is Spark's murmur3 `F.hash`
-(JVM-side, deterministic) — no Python in the hot path except the SimHash
-batch UDF (Arrow, numpy bit ops).
+bucket-colliding candidates. All hashing is JVM-side and deterministic
+(murmur3 `F.hash` / `F.xxhash64`) — no per-row Python anywhere, SimHash
+included (explode + codegen'd bit-vote aggregates).
 """
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-from dataclasses import dataclass
-
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from radar_log_parser_spark.operators.logquery import QuerySpec, _docs
 
@@ -191,57 +185,52 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- SimHash -----------------------------------------------------------------
-_SIMHASH_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_id", T.LongType(), False),
-        T.StructField("simhash", T.LongType(), False),
-    ]
-)
-
-
-def _simhash_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-    """63-bit SimHash over 3-word shingles. Deterministic digest
-    (blake2b-8), numpy bit-count majority — vectorized per batch."""
-    import hashlib
-
-    cache: dict[str, int] = {}
-
-    def digest(s: str) -> int:
-        v = cache.get(s)
-        if v is None:
-            v = int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
-            cache[s] = v
-        return v
-
-    out = np.zeros(len(pdf), dtype=np.int64)
-    for i, text in enumerate(pdf["text"].values):
-        ws = text.split(" ")
-        if len(ws) < 3:
-            out[i] = 0
-            continue
-        shs = {" ".join(ws[j : j + 3]) for j in range(len(ws) - 2)}
-        hs = np.fromiter((digest(s) for s in shs), dtype=np.uint64, count=len(shs))
-        bits = ((hs[:, None] >> np.arange(63, dtype=np.uint64)) & 1).astype(np.int32)
-        votes = bits.sum(axis=0) * 2 - len(hs)  # +1 for set bit, -1 for clear
-        sim = np.uint64(0)
-        for b in np.flatnonzero(votes > 0):
-            sim |= np.uint64(1) << np.uint64(b)
-        out[i] = np.int64(sim)
-    return pd.DataFrame({"doc_id": pdf["doc_id"].astype(np.int64), "simhash": out})
-
-
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprints (doc_id, simhash). Near-dup candidates are
-    low-Hamming pairs; pytest verifies planted near-dups land within
-    Hamming ≤ 12 while random pairs stay far."""
-    docs = _docs(spark, sf_dir).select(F.col("doc_id").cast("long").alias("doc_id"), "text")
+    """63-bit SimHash fingerprints (doc_id, simhash), computed ENTIRELY
+    JVM-side: explode distinct 3-word shingles → `xxhash64` per shingle →
+    per-bit ±1 majority vote as 63 codegen'd sum aggregates → reassemble
+    the winning bits. No Python anywhere (the previous per-row
+    hashlib.blake2b loop violated the no-per-row-Python contract and was
+    the plan's only Python hot path). Shuffle rows are (doc_id, 63 longs)
+    after map-side partial aggregation — narrow and skew-free.
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf):
-                yield _simhash_batch(pdf)
-
-    return docs.mapInPandas(run, schema=_SIMHASH_SCHEMA)
+    Near-dup candidates are low-Hamming pairs; pytest verifies planted
+    near-dups land within Hamming ≤ 12 while random pairs stay far."""
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    sh = docs.filter(F.size(F.split("text", " ")) >= 3).select(
+        "doc_id", F.explode(shingles_col()).alias("shingle")
+    )
+    h = F.xxhash64("shingle")
+    votes = sh.select(
+        "doc_id",
+        *[
+            F.when(h.bitwiseAND(F.lit(1 << b).cast("long")) != 0, 1)
+            .otherwise(-1)
+            .alias(f"b{b}")
+            for b in range(63)
+        ],
+    )
+    per_doc = votes.groupBy("doc_id").agg(
+        *[F.sum(f"b{b}").alias(f"v{b}") for b in range(63)]
+    )
+    sim = per_doc.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                )
+                for b in range(63)
+            ],
+            F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
+    # docs with <3 words carry fingerprint 0 (no shingles to vote)
+    return docs.select("doc_id").join(sim, "doc_id", "left").select(
+        "doc_id", F.coalesce("simhash", F.lit(0).cast("long")).alias("simhash")
+    )
 
 
 # --- embedding-cosine near-dup ----------------------------------------------

@@ -94,26 +94,37 @@ SELECT process, CAST(doc_id AS BIGINT) AS doc_id FROM counted WHERE n > 1
 # --- F3 + A1: non-grouped issue match count (duplicates included) ----------
 def q_nongrouped_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F3/A1 (nongroupIssueDetails, analyzeLog.go:266-279): Number counts
-    ALL matches including within-line duplicates; distinct set separate."""
+    ALL matches including within-line duplicates; distinct set separate.
+
+    ONE scan for all issues: per-issue k columns in a single select, one
+    aggregate, unpivoted with stack — the union-per-issue form re-read the
+    table once per issue."""
     docs = _docs(spark, sf_dir)
-    parts = []
-    for issue, rx in sorted(NGRP_ISSUES.items()):
-        parts.append(
-            docs.select(
-                F.lit(issue).alias("issue"),
-                F.size(F.regexp_extract_all("text", F.lit(rx), 0)).alias("k"),
-                F.col("text"),
-            )
-            .groupBy("issue")
-            .agg(
-                F.sum("k").cast("long").alias("number"),
-                F.count_distinct(F.when(F.col("k") > 0, F.col("text"))).cast("long").alias("n_distinct_lines"),
-            )
+    issues = sorted(NGRP_ISSUES.items())
+    per_row = docs.select(
+        "text",
+        *[
+            F.size(F.regexp_extract_all("text", F.lit(rx), 0)).alias(f"k{i}")
+            for i, (_n, rx) in enumerate(issues)
+        ],
+    )
+    aggd = per_row.agg(
+        *[F.sum(f"k{i}").cast("long").alias(f"number{i}") for i in range(len(issues))],
+        *[
+            F.count_distinct(F.when(F.col(f"k{i}") > 0, F.col("text")))
+            .cast("long")
+            .alias(f"nd{i}")
+            for i in range(len(issues))
+        ],
+    )
+    stack_args = ", ".join(
+        f"'{name}', number{i}, nd{i}" for i, (name, _rx) in enumerate(issues)
+    )
+    return aggd.select(
+        F.expr(
+            f"stack({len(issues)}, {stack_args}) as (issue, number, n_distinct_lines)"
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    )
 
 
 Q_NONGROUPED_COUNT_SQL = """
@@ -158,27 +169,36 @@ def q_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the LAST — here: first/last matching doc ordinal and the extracted
     word at each, via min_by/max_by over the explicit ordinal."""
     docs = _docs(spark, sf_dir)
-    parts = []
-    for issue, rx in sorted(NGRP_ISSUES.items()):
-        hit = docs.filter(F.col("text").rlike(rx))
-        parts.append(
-            hit.select(
-                F.lit(issue).alias("issue"),
-                F.col("doc_id"),
-                F.regexp_extract("text", r"(\w+)", 1).alias("w"),
-            )
-            .groupBy("issue")
-            .agg(
-                F.min("doc_id").cast("long").alias("first_doc"),
-                F.max("doc_id").cast("long").alias("last_doc"),
-                F.min_by("w", "doc_id").alias("first_word"),
-                F.max_by("w", "doc_id").alias("last_word"),
-            )
+    issues = sorted(NGRP_ISSUES.items())
+    # one scan: per-issue hit flags; min_by/max_by over a when()-guarded
+    # ordinal skip non-hit rows (null ordering values are ignored)
+    per_row = docs.select(
+        "doc_id",
+        F.regexp_extract("text", r"(\w+)", 1).alias("w"),
+        *[
+            F.col("text").rlike(rx).alias(f"hit{i}")
+            for i, (_n, rx) in enumerate(issues)
+        ],
+    )
+    ords = [
+        F.when(F.col(f"hit{i}"), F.col("doc_id")) for i in range(len(issues))
+    ]
+    aggd = per_row.agg(
+        *[F.min(ords[i]).cast("long").alias(f"fd{i}") for i in range(len(issues))],
+        *[F.max(ords[i]).cast("long").alias(f"ld{i}") for i in range(len(issues))],
+        *[F.min_by("w", ords[i]).alias(f"fw{i}") for i in range(len(issues))],
+        *[F.max_by("w", ords[i]).alias(f"lw{i}") for i in range(len(issues))],
+    )
+    stack_args = ", ".join(
+        f"'{name}', fd{i}, ld{i}, fw{i}, lw{i}"
+        for i, (name, _rx) in enumerate(issues)
+    )
+    return aggd.select(
+        F.expr(
+            f"stack({len(issues)}, {stack_args}) "
+            "as (issue, first_doc, last_doc, first_word, last_word)"
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    ).filter(F.col("first_doc").isNotNull())
 
 
 Q_FIRST_LAST_SQL = """
@@ -252,6 +272,34 @@ GROUP BY level
 """
 
 
+# --- F8 view: all rows at one severity level (the /loglevel route) ---------
+def q_severity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 user view (GetLogLeveldetails, details.go:187-194, served by the
+    /loglevel route, main.go:110,129-134): give me every line at level X,
+    in order. Level dictionary is a broadcast join; the filter is applied
+    on the enriched frame (predicate reaches the scan via the dim filter)."""
+    ev = _events(spark, sf_dir)
+    dim = spark.createDataFrame(SEVERITY_MAP, "event_type string, level string")
+    return (
+        ev.join(F.broadcast(dim.filter(F.col("level") == "I")), "event_type", "inner")
+        .select(
+            F.col("event_id").cast("long").alias("event_id"),
+            "event_type",
+            "level",
+            F.col("user_id").cast("long").alias("user_id"),
+        )
+    )
+
+
+Q_SEVERITY_FILTER_SQL = """
+SELECT CAST(event_id AS BIGINT) AS event_id, event_type, level,
+       CAST(user_id AS BIGINT) AS user_id
+FROM events JOIN (VALUES ('error','E'),('click','D'),('view','V'),('signup','I'),('purchase','I'))
+  AS sev(event_type, level) USING (event_type)
+WHERE level = 'I'
+"""
+
+
 # --- F9 + O2 + Q7: important events, last-duplicate-index wins -------------
 def q_important_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F9 (getImportantEvents, details.go:154-186): per matched text the
@@ -309,11 +357,32 @@ def q_context_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     flag over the ordinal; emits per-segment line counts."""
     docs = _docs(spark, sf_dir)
     flag = F.when(F.col("text").rlike(r"\bdup\b"), 1).otherwise(0)
-    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
-    seg = docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
-        flag.alias("flag"),
-    ).withColumn("segment", F.sum("flag").over(w).cast("long"))
+    flagged = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), flag.alias("flag")
+    )
+    # Two-phase distributed prefix sum — a global `sum over (order by)` would
+    # pull the whole table into ONE window partition (the r1 scale-killer).
+    # Phase 1: per-bucket partial counts (bucket = ordinal div 2^20: at
+    # 10^12 rows the bucket table is ~10^6 tiny rows — broadcastable, and
+    # its running-offset window is trivial). Phase 2: running offset over
+    # that bucket table. Phase 3: broadcast offsets back, intra-bucket
+    # running sum under a PARTITIONED window. segment = offset + intra.
+    bucket = (F.col("doc_id") / F.lit(1 << 20)).cast("long").alias("bucket")
+    per_bucket = flagged.groupBy(bucket).agg(F.sum("flag").alias("c"))
+    w_off = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+    offsets = per_bucket.select(
+        "bucket", F.coalesce(F.sum("c").over(w_off), F.lit(0)).alias("offset")
+    )
+    w_intra = W.partitionBy("bucket").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    seg = (
+        flagged.withColumn("bucket", bucket)
+        .join(F.broadcast(offsets), "bucket")
+        .withColumn(
+            "segment", (F.col("offset") + F.sum("flag").over(w_intra)).cast("long")
+        )
+    )
     return seg.groupBy("segment").agg(
         F.count("*").cast("long").alias("n_lines"),
         F.min("doc_id").cast("long").alias("seg_start"),
@@ -337,22 +406,27 @@ def q_priority_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     per issue with its match count, joined to the broadcast priority dict,
     ordered priority desc with name-asc tiebreak (Q4)."""
     docs = _docs(spark, sf_dir)
-    counts = []
-    for issue, rx in sorted(NGRP_ISSUES.items()):
-        counts.append(
-            docs.select(F.size(F.regexp_extract_all("text", F.lit(rx), 0)).alias("k"))
-            .agg(F.sum("k").cast("long").alias("number"))
-            .select(F.lit(issue).alias("issue"), "number")
-        )
-    counts.append(
-        _docs(spark, sf_dir)
-        .filter(F.col("text").rlike(GROUPING))
-        .agg(F.count("*").cast("long").alias("number"))
-        .select(F.lit("grouped_the").alias("issue"), "number")
+    issues = sorted(NGRP_ISSUES.items())
+    # ONE scan for every issue count (the union form re-read the table once
+    # per issue): per-issue columns in a single agg, unpivoted with stack
+    aggd = docs.agg(
+        *[
+            F.sum(F.size(F.regexp_extract_all("text", F.lit(rx), 0)))
+            .cast("long")
+            .alias(f"n{i}")
+            for i, (_n, rx) in enumerate(issues)
+        ],
+        F.sum(F.when(F.col("text").rlike(GROUPING), 1).otherwise(0))
+        .cast("long")
+        .alias("n_grouped"),
     )
-    out = counts[0]
-    for p in counts[1:]:
-        out = out.unionByName(p)
+    stack_args = ", ".join(
+        [f"'{name}', n{i}" for i, (name, _rx) in enumerate(issues)]
+        + ["'grouped_the', n_grouped"]
+    )
+    out = aggd.select(
+        F.expr(f"stack({len(issues) + 1}, {stack_args}) as (issue, number)")
+    )
     prio = spark.createDataFrame(PRIORITY, "issue string, priority int")
     return (
         out.join(F.broadcast(prio), "issue", "left")
@@ -390,6 +464,8 @@ SPECS: list[QuerySpec] = [
               q_field_content, Q_FIELD_CONTENT_SQL),
     QuerySpec("severity_enrich", "F8 broadcast severity dictionary join",
               q_severity_enrich, Q_SEVERITY_ENRICH_SQL),
+    QuerySpec("severity_filter", "F8 /loglevel view: all rows at one level",
+              q_severity_filter, Q_SEVERITY_FILTER_SQL),
     QuerySpec("important_events", "F9+Q7 last-duplicate-index-wins events",
               q_important_events, Q_IMPORTANT_EVENTS_SQL),
     QuerySpec("line_range", "F11 ordinal range slice",

@@ -18,7 +18,7 @@ from radar_log_parser_spark.operators.logquery import QuerySpec
 
 TOP_K = 5
 N_QUERIES = 8  # vec_id < 8 are the query set
-IVF_CENTROID_STRIDE = 25  # vec_id % 25 == 0 → deterministic centroid seeds
+IVF_K = 64  # FIXED centroid count — the broadcast is O(K), never O(n)
 IVF_PROBES = 4
 
 
@@ -76,35 +76,53 @@ SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM (
 """
 
 
+def ivf_centroids(emb: DataFrame, k: int = IVF_K) -> DataFrame:
+    """K deterministic centroid seeds: the k vectors with the smallest
+    xxhash64(vec_id) — a uniform hash-sample whose size is FIXED at k no
+    matter the table size (the previous every-Nth-vector seeding made the
+    centroid set O(n): an unbounded broadcast and an n×n/N assignment
+    join). orderBy+limit compiles to TakeOrderedAndProject: one scan with
+    per-partition top-k, k rows to the driver."""
+    return (
+        emb.orderBy(F.xxhash64("vec_id"), F.asc("vec_id"))
+        .limit(k)
+        .select(
+            F.row_number()
+            .over(W.orderBy(F.xxhash64("vec_id"), F.asc("vec_id")))
+            .cast("long")
+            .alias("cell"),
+            F.col("embedding").alias("c_emb"),
+            F.col("nrm").alias("c_nrm"),
+        )
+    )
+
+
 def ivf_assignments(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     """Assign every vector to its nearest centroid (max cosine) via a
-    broadcast join — the partition step of IVF. At scale the output is
-    written partitioned by cell so probes touch only matching files."""
+    broadcast join + max_by argmax — no window, so no sort shuffle: the
+    n×K scored rows collapse to one row per vector in the map-side partial
+    aggregation (scored rows for a vector never leave its partition). At
+    scale the output is written partitioned by cell so probes touch only
+    matching files."""
     cos = _dot(F.col("embedding"), F.col("c_emb")) / (F.col("nrm") * F.col("c_nrm"))
     scored = emb.join(F.broadcast(centroids)).select(
         "vec_id", "embedding", "nrm", "cell", cos.alias("cos")
     )
-    w = W.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cell"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn", "cos")
+    return scored.groupBy("vec_id").agg(
+        # argmax by cosine, deterministic min-cell tiebreak
+        F.max_by("cell", F.struct(F.col("cos"), (-F.col("cell")).alias("nc"))).alias("cell"),
+        F.first("embedding").alias("embedding"),
+        F.first("nrm").alias("nrm"),
     )
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF top-k (scale path): deterministic centroid seeds (every
-    IVF_CENTROID_STRIDE-th vector), assign vectors to cells, probe the
-    IVF_PROBES nearest cells per query, rank within probed candidates.
+    """IVF top-k (scale path): K hash-sampled centroid seeds, assign
+    vectors to cells, probe the IVF_PROBES nearest cells per query, rank
+    within probed candidates.
     Rows-only driver check; pytest measures recall vs the exact top-k."""
     emb = _emb(spark, sf_dir)
-    centroids = emb.filter(
-        F.col("vec_id") % IVF_CENTROID_STRIDE == 0
-    ).select(
-        (F.col("vec_id") / IVF_CENTROID_STRIDE).cast("long").alias("cell"),
-        F.col("embedding").alias("c_emb"),
-        F.col("nrm").alias("c_nrm"),
-    )
+    centroids = ivf_centroids(emb)
     assigned = ivf_assignments(emb, centroids)
 
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(

@@ -42,6 +42,21 @@ from radar_log_parser_spark.operators import routing
 
 ENGINE_VERSION = "0.1.0"
 
+SALT_MOD = 16
+
+
+def salted_repartition(df: DataFrame, key: str, buckets: int, salt_mod: int = SALT_MOD) -> DataFrame:
+    """Repartition by (key, salt) for LOW-CARDINALITY keys (source/process):
+    plain repartition(key) sends a hot source's entire shard to ONE task —
+    at 10^12 rows a 90%-hot source serializes the write. The salt (a stable
+    hash of doc_id mod salt_mod) fans each key over up to salt_mod tasks
+    while keeping rows of one (key, salt) cell co-located, so per-source
+    consumers still prune. (North rule: 'salted repartition for
+    source-skewed shards'.)"""
+    return df.repartition(
+        buckets, F.col(key), F.pmod(F.xxhash64("doc_id"), F.lit(salt_mod))
+    )
+
 
 def _fingerprint(*parts: str) -> str:
     h = hashlib.sha256()
@@ -67,7 +82,18 @@ class StageMetrics:
 
 
 class Checkpointer:
-    """Parquet-or-Iceberg stage storage with lineage manifests."""
+    """Parquet-or-Iceberg stage storage with lineage manifests.
+
+    fmt="iceberg" writes each stage as an Iceberg table via
+    ``writeTo(...).using("iceberg")``, partitioned ``bucket(N, doc_id)``
+    when the stage carries doc_id (the north rule's explicit bucketing),
+    under a hadoop-type catalog rooted at the work dir. The iceberg-spark
+    runtime jar is a plain maven artifact absent from this sandbox
+    (verified: no network, no jar on the classpath), so construction fails
+    FAST without it — the parquet path is the explicit fallback, never a
+    silent substitution."""
+
+    CATALOG = "rlps_ckpt"
 
     def __init__(self, spark: SparkSession, work_dir: str, fmt: str = "parquet"):
         self.spark = spark
@@ -79,6 +105,8 @@ class Checkpointer:
             )
         self.fmt = fmt
         os.makedirs(work_dir, exist_ok=True)
+        if fmt == "iceberg":
+            self._configure_catalog()
 
     def _iceberg_available(self) -> bool:
         try:
@@ -89,7 +117,18 @@ class Checkpointer:
         except Exception:
             return False
 
+    def _configure_catalog(self) -> None:
+        c = f"spark.sql.catalog.{self.CATALOG}"
+        self.spark.conf.set(c, "org.apache.iceberg.spark.SparkCatalog")
+        self.spark.conf.set(f"{c}.type", "hadoop")
+        self.spark.conf.set(f"{c}.warehouse", self.work_dir)
+
+    def _table(self, stage: str) -> str:
+        return f"{self.CATALOG}.stages.{stage}"
+
     def path(self, stage: str) -> str:
+        if self.fmt == "iceberg":
+            return os.path.join(self.work_dir, "stages", stage)
         return os.path.join(self.work_dir, stage)
 
     def _lineage_path(self, stage: str) -> str:
@@ -97,7 +136,9 @@ class Checkpointer:
 
     def is_complete(self, stage: str, fingerprint: str) -> bool:
         lp = self._lineage_path(stage)
-        if not os.path.exists(lp) or not os.path.exists(
+        if not os.path.exists(lp):
+            return False
+        if self.fmt == "parquet" and not os.path.exists(
             os.path.join(self.path(stage), "_SUCCESS")
         ):
             return False
@@ -109,26 +150,50 @@ class Checkpointer:
             return False
 
     def read(self, stage: str) -> DataFrame:
+        if self.fmt == "iceberg":
+            return self.spark.read.table(self._table(stage))
         return self.spark.read.parquet(self.path(stage))
 
-    def write(self, stage: str, df: DataFrame, fingerprint: str, parents: list[str]) -> StageMetrics:
+    def _write_data(self, stage: str, df: DataFrame, buckets: int) -> None:
+        if self.fmt == "iceberg":
+            w = df.writeTo(self._table(stage)).using("iceberg")
+            if "doc_id" in df.columns:
+                # Iceberg-native bucketing replaces the manual repartition
+                # (the hidden-partitioning equivalent of bucket(N, doc_id))
+                w = w.partitionedBy(F.bucket(buckets, F.col("doc_id")))
+            w.createOrReplace()
+        else:
+            df.write.mode("overwrite").parquet(self.path(stage))
+
+    def write(
+        self,
+        stage: str,
+        df: DataFrame,
+        fingerprint: str,
+        parents: list[str],
+        buckets: int = 32,
+    ) -> StageMetrics:
         t0 = time.monotonic()
         out = self.path(stage)
-        df.write.mode("overwrite").parquet(out)
+        self._write_data(stage, df, buckets)
         metrics = StageMetrics(stage=stage, fingerprint=fingerprint)
         metrics.wall_s = time.monotonic() - t0
         # per-partition lineage: row counts straight from parquet footers
+        # (Iceberg data files are parquet too — walk the data dir)
         import pyarrow.parquet as pq
 
+        data_dir = os.path.join(out, "data") if self.fmt == "iceberg" else out
         total = 0
-        for name in sorted(os.listdir(out)):
-            if not name.endswith(".parquet"):
-                continue
-            n = pq.ParquetFile(os.path.join(out, name)).metadata.num_rows
-            metrics.per_file_rows[name] = n
-            total += n
+        for root, _dirs, names in os.walk(data_dir):
+            for name in sorted(names):
+                if not name.endswith(".parquet"):
+                    continue
+                n = pq.ParquetFile(os.path.join(root, name)).metadata.num_rows
+                metrics.per_file_rows[os.path.relpath(os.path.join(root, name), data_dir)] = n
+                total += n
         metrics.rows = total
         metrics.files = len(metrics.per_file_rows)
+        os.makedirs(out, exist_ok=True)
         with open(self._lineage_path(stage), "w") as f:
             json.dump(
                 {
@@ -136,6 +201,7 @@ class Checkpointer:
                     "fingerprint": fingerprint,
                     "parents": parents,
                     "engine_version": ENGINE_VERSION,
+                    "format": self.fmt,
                     "rows": metrics.rows,
                     "files": metrics.files,
                     "per_file_rows": metrics.per_file_rows,
@@ -185,16 +251,33 @@ class Pipeline:
         self.checkpoint = checkpoint
         self.ckpt = Checkpointer(spark, work_dir, fmt) if checkpoint else None
         self.buckets = buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
+        # vocab CONTENT hash: a changed vocab of identical size must
+        # invalidate every checkpoint (decoded text changes everywhere)
+        vocab_fp = hashlib.sha256(
+            "\x00".join(vocab.id_to_token).encode()
+        ).hexdigest()[:16]
         self._root_fp = _fingerprint(
             ENGINE_VERSION,
             _config_hash(cfg),
-            str(len(vocab.id_to_token)),
+            vocab_fp,
             input_path,
         )
         self.metrics: list[StageMetrics] = []
 
     # -- stage runner -------------------------------------------------------
-    def _stage(self, name: str, build, parents: list[str], bucket_by: str | None = None) -> DataFrame:
+    def _stage(
+        self,
+        name: str,
+        build,
+        parents: list[str],
+        bucket_by: str | None = None,
+        salted_by: str | None = None,
+    ) -> DataFrame:
+        """bucket_by: high-cardinality cluster key (hash buckets — the
+        parquet equivalent of Iceberg's bucket(N, doc_id); Iceberg mode
+        declares the real thing in the table spec instead).
+        salted_by: LOW-cardinality cluster key (source) — salted so a hot
+        source cannot serialize the stage write (see salted_repartition)."""
         fp = _fingerprint(self._root_fp, name, *parents)
         if self.ckpt is None:
             return build()
@@ -203,18 +286,26 @@ class Pipeline:
             self.metrics.append(m)
             return self.ckpt.read(name)
         df = build()
-        if bucket_by is not None:
-            # explicit bucket-style clustering (Iceberg bucket(N, doc_id)
-            # equivalent): uniform regardless of source skew
+        if salted_by is not None:
+            df = salted_repartition(df, salted_by, self.buckets)
+        elif bucket_by is not None and self.ckpt.fmt != "iceberg":
             df = df.repartition(self.buckets, F.col(bucket_by))
-        m = self.ckpt.write(name, df, fp, parents)
+        m = self.ckpt.write(name, df, fp, parents, buckets=self.buckets)
         self.metrics.append(m)
         return self.ckpt.read(name)
 
     # -- the graph ----------------------------------------------------------
-    def run(self) -> PipelineResult:
+    def run(self, concurrent_jobs=None) -> PipelineResult:
+        """concurrent_jobs: optional callable(sinks_dict) -> list[thunk];
+        the thunks (e.g. sink writes) are submitted to the SAME pool as the
+        summary-input collects, so the cluster processes every independent
+        job of the fan-out at once instead of in driver-sequenced phases —
+        the idle gaps between serial phases are pure anti-scale (they cost
+        the same wall at N and 4N cores)."""
         spark = self.spark
         cfg = self.cfg
+        self.timings: dict[str, float] = {}
+        t0 = time.monotonic()
 
         raw = spark.read.parquet(self.input_path)
 
@@ -226,22 +317,48 @@ class Pipeline:
         )
         if self.ckpt is None:
             # unchechpointed (bench) mode: the parse UDF feeds five sinks —
-            # materialize it once, EAGERLY. localCheckpoint (row-format RDD
-            # blocks) builds ~8× faster than the SQL columnar cache for this
-            # wide array-heavy schema and reads just as fast; eager so the
-            # concurrent consumers below never race to compute the same
-            # partition twice. Production resumability uses the real parquet
-            # checkpoints instead.
-            parsed = parsed.localCheckpoint(eager=True)
+            # materialize it once, EAGERLY, so the concurrent consumers
+            # below never race to compute the same partition twice.
+            # Two strategies, both SERIALIZED (deserialized wide rows blow
+            # the storage pool and triple-vary build/read times under
+            # eviction — measured 10→59→21s builds; serialized: stable 7-8s
+            # builds, 0.5s reads):
+            #   lc      — row-format RDD blocks (default)
+            #   parquet — columnar scratch file: consumers get COLUMN
+            #             PRUNING (the token arrays are only read by the 3
+            #             sinks that carry them, not by the aggregates) at
+            #             the cost of one disk round-trip
+            if os.environ.get("RLPS_BENCH_CKPT", "lc") == "parquet":
+                scratch = os.path.join(
+                    os.environ.get("RLPS_SCRATCH", "/tmp"),
+                    f"rlps_parsed_{os.getpid()}",
+                )
+                parsed.write.mode("overwrite").parquet(scratch)
+                parsed = spark.read.parquet(scratch)
+            else:
+                from pyspark import StorageLevel
 
-        kept = routing.kept_processes(parsed)
+                parsed = parsed.localCheckpoint(
+                    eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+                )
+        self.timings["parse_materialize"] = round(time.monotonic() - t0, 2)
+
+        # the Q1 keep-set is config-sized: collect it ONCE and re-plan it as
+        # a literal frame, so the N broadcast-join consumers below don't each
+        # schedule their own keep-set job over the parsed frame
+        t0 = time.monotonic()
+        kept_src = routing.kept_processes(parsed)
+        kept = spark.createDataFrame(kept_src.collect(), kept_src.schema)
         ipmap = routing.issue_process_map(spark, cfg)
+        self.timings["kept"] = round(time.monotonic() - t0, 2)
 
         specific = self._stage(
             "specific_issues",
             lambda: routing.specific_issues(parsed, kept),
             parents=["parsed"],
-            bucket_by="doc_id",
+            # row sinks are consumed per-source (the reference's per-report
+            # views) → cluster by source, salted against hot sources
+            salted_by="source",
         )
         scope = self._stage(
             "scoped",
@@ -249,8 +366,16 @@ class Pipeline:
             parents=["parsed"],
             bucket_by="doc_id",
         )
-        if self.ckpt is None:
-            scope = scope.localCheckpoint(eager=True)
+        # Aggregation reads a SLIM scope (no token arrays): every aggregate
+        # keys on (source, issue, proc_rank, line_no, match/text) only.
+        # Checkpoint mode gets this for free (parquet column pruning). In
+        # bench mode the slim scope stays LAZY: re-deriving it from the
+        # materialized parsed blocks is a narrow explode + two broadcast
+        # joins (~5s/consumer at 8M rows) — materializing it cost 30-45s
+        # serial wall and doubled block-store pressure, the measured reason
+        # wall@4N exceeded wall@N in round 1.
+        scope_slim = scope.drop("tokens", "n_tok")
+        self._scope_slim = scope_slim
         other = self._stage(
             "other_routed",
             lambda: routing.other_routed(scope),
@@ -259,7 +384,7 @@ class Pipeline:
         )
         grouped = self._stage(
             "grouped_routed",
-            lambda: routing.grouped_routed(scope),
+            lambda: routing.grouped_routed(scope, cfg),
             parents=["scoped"],
             bucket_by="doc_id",
         )
@@ -270,39 +395,70 @@ class Pipeline:
             "severity",
             lambda: routing.severity_sink(parsed),
             parents=["parsed"],
-            bucket_by="doc_id",
+            salted_by="source",
         )
 
         grouped_issues = self._stage(
             "grouped_issues",
-            lambda: agg.grouped_counts(grouped),
+            lambda: agg.grouped_counts(routing.grouped_matches(scope_slim)),
             parents=["grouped_routed"],
         )
 
-        other_aggs = agg.other_issue_aggs(other)
-        g_totals = agg.grouped_totals(grouped)
-        fields = agg.field_contents(cfg, other, scope)
+        other_aggs = agg.other_issue_aggs(routing.other_matches(scope_slim))
+        g_totals = agg.grouped_totals(routing.grouped_matches(scope_slim))
+        fields = agg.field_contents(cfg, scope_slim)
 
-        self.timings: dict[str, float] = {}
+        row_sinks = {
+            "parsed": parsed,
+            "specific_issues": specific,
+            "scoped": scope,
+            "scoped_slim": scope_slim,
+            "other_routed": other,
+            "grouped_routed": grouped,
+            "events": events,
+            "severity": severity,
+            "grouped_issues": grouped_issues,
+            "match_sets": agg.other_issue_match_sets(
+                routing.other_matches(scope_slim)
+            ),
+        }
 
-        # the four summary inputs are independent jobs over materialized
-        # intermediates — submit them concurrently so the cluster stays busy
-        # (driver-side sequencing was a measurable serial tail)
+        # every summary input AND every caller-supplied job (sink writes in
+        # bench mode) is an independent Spark job over the materialized
+        # parse stage — submit them all concurrently so the cluster stays
+        # busy (driver-side phase sequencing was a measurable serial tail)
         from concurrent.futures import ThreadPoolExecutor
 
         def collect_sources():
             return [r["source"] for r in raw.select("source").distinct().collect()]
 
+        extra = list(concurrent_jobs(row_sinks)) if concurrent_jobs else []
         t0 = time.monotonic()
-        with ThreadPoolExecutor(max_workers=4) as pool:
-            f_sources = pool.submit(collect_sources)
-            f_oa = pool.submit(other_aggs.collect)
-            f_gt = pool.submit(g_totals.collect)
-            f_fields = pool.submit(fields.collect if fields is not None else list)
+
+        def timed(name, fn):
+            def go():
+                s = time.monotonic()
+                r = fn()
+                self.timings[f"job_{name}"] = round(time.monotonic() - s, 2)
+                return r
+            return go
+
+        with ThreadPoolExecutor(max_workers=4 + len(extra)) as pool:
+            extra_futs = [
+                pool.submit(timed(f"extra{i}", j)) for i, j in enumerate(extra)
+            ]
+            f_sources = pool.submit(timed("sources", collect_sources))
+            f_oa = pool.submit(timed("other_aggs", other_aggs.collect))
+            f_gt = pool.submit(timed("grouped_totals", g_totals.collect))
+            f_fields = pool.submit(
+                timed("fields", fields.collect if fields is not None else list)
+            )
             sources = f_sources.result()
             oa_rows = f_oa.result()
             gt_rows = f_gt.result()
             f_rows = f_fields.result()
+            for f in extra_futs:
+                f.result()
         self.timings["summary_inputs"] = round(time.monotonic() - t0, 2)
         summary = agg.assemble_summary(spark, cfg, sources, oa_rows, gt_rows, f_rows)
         if self.ckpt is not None:
@@ -312,16 +468,6 @@ class Pipeline:
                 "source", F.desc("priority"), F.asc("issue")
             )
 
-        sinks = {
-            "parsed": parsed,
-            "specific_issues": specific,
-            "scoped": scope,
-            "other_routed": other,
-            "grouped_routed": grouped,
-            "events": events,
-            "severity": severity,
-            "grouped_issues": grouped_issues,
-            "match_sets": agg.other_issue_match_sets(other),
-            "summary": summary,
-        }
+        sinks = dict(row_sinks)
+        sinks["summary"] = summary
         return PipelineResult(sinks=sinks, metrics=self.metrics)

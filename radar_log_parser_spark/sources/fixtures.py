@@ -229,11 +229,13 @@ def write_scaled_fixture(
         f.write(FIXTURE_CONFIG_YAML)
 
     rng = np.random.default_rng(seed)
-    # directory of part files: the scan parallelizes across files (one
-    # 300 MB file = 5 splits; 64 files = every core busy)
+    # directory of MANY part files: at 100 TB a scan has ~10^6 splits, far
+    # more than cores — the sandbox fixture must reproduce splits >> cores,
+    # or a single task wave's stragglers dominate and the N→4N scaling
+    # measurement reads as Amdahl overhead. 256 files ≈ 8 waves at 32 cores.
     logs_path = os.path.join(out_dir, "logs.parquet")
     os.makedirs(logs_path, exist_ok=True)
-    row_group_size = min(row_group_size, max(65536, n_rows // 64))
+    row_group_size = min(row_group_size, max(8192, n_rows // 256))
     part = 0
     if True:
         for source in sorted(corpus):

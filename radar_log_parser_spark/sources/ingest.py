@@ -37,16 +37,25 @@ def _format_gate(path: str) -> None:
         raise ValueError(f"Invalid Format: {path!r} — only .txt and .gz accepted")
 
 
+# Log-token vocabularies are template-bounded (format strings × small value
+# alphabets), but open-domain text is NOT — refuse to collect an unbounded
+# set to the driver instead of silently OOM-ing at scale.
+MAX_VOCAB = 5_000_000
+
+
 def build_vocab(lines_df: DataFrame) -> Vocab:
     """Corpus vocabulary: sorted distinct whitespace tokens (+ chars).
-    One distinct-aggregation pass; vocabularies are bounded, so the driver
-    collect is safe at any corpus size."""
-    words = [
-        r["w"]
-        for r in lines_df.select(
-            F.explode(F.split("value", " ")).alias("w")
-        ).distinct().collect()
-    ]
+    One distinct-aggregation pass; guarded by a distinct-count so the
+    driver collect fails LOUDLY if the corpus isn't vocabulary-bounded."""
+    distinct = lines_df.select(F.explode(F.split("value", " ")).alias("w")).distinct()
+    n = distinct.count()
+    if n > MAX_VOCAB:
+        raise ValueError(
+            f"corpus has {n:,} distinct tokens (> {MAX_VOCAB:,}): not a "
+            "template-bounded log vocabulary — supply a pre-built vocab "
+            "(e.g. a trained tokenizer's) instead of collecting one"
+        )
+    words = [r["w"] for r in distinct.collect()]
     chars = sorted({c for w in words for c in w})
     all_tokens = sorted(set(words) | set(chars))
     return Vocab({t: i for i, t in enumerate(all_tokens)}, tuple(all_tokens))
@@ -91,8 +100,19 @@ def ingest_text_logs(
                 tid = t2i.get(w)
                 if tid is not None:
                     out.append(tid)
-                else:
-                    out.extend(t2i[c] for c in w if c in t2i)
+                    continue
+                # char fallback — but FAIL FAST on a char the vocab lacks:
+                # silently dropping it would mangle the decoded text and
+                # defeat downstream regex matching (codec round-trip claim)
+                try:
+                    out.extend(t2i[c] for c in w)
+                except KeyError as e:
+                    raise ValueError(
+                        f"token {w!r} contains char {e.args[0]!r} absent "
+                        "from the supplied vocab — extend the vocab or "
+                        "rebuild it from this corpus (vocab reuse across "
+                        "unrelated files is not round-trippable)"
+                    ) from None
             return out
 
         for pdf in batches:
