@@ -97,19 +97,6 @@ class ConfigSpec:
             _lint_pattern(f"SpecificProcess.{name}", rgx)
         for name, rgx in self.important_events.items():
             _lint_pattern(f"ImportantEvents.{name}", rgx)
-            # Full-line anchoring required: the reference resolves event
-            # MATCH STRINGS through a text→line-number map (details.go:
-            # 158-161,177), so a substring match misses the map and lands
-            # on line 0 — almost certainly a config author's bug. We lint
-            # it away instead of reproducing the silent line-0 artifact
-            # (same fail-fast family as the Q11 inversion above).
-            if not (rgx.startswith("(?m)^") and rgx.endswith("$")):
-                raise ConfigError(
-                    f"ImportantEvents.{name!r} must be full-line anchored "
-                    f"('(?m)^…$'): the reference maps event matches back to "
-                    f"lines by exact text, so a substring pattern would "
-                    f"silently report line 0: {rgx!r}"
-                )
         if self.general.timestamp:
             _lint_pattern("IssuesGeneralFields.Timestamp", self.general.timestamp)
         if self.general.log_level:
@@ -117,6 +104,17 @@ class ConfigSpec:
         for fname, rgx in self.general.other_fields.items():
             _lint_pattern(f"IssuesGeneralFields.OtherFields.{fname}", rgx)
         for iname, issue in self.issues.items():
+            # the aggregation order key packs proc_rank into bits 53..62 of
+            # one BIGINT (aggregates._ord: proc_rank < 2^10) — an issue with
+            # ≥1024 processes would overflow the packed key mid-aggregate
+            # (ANSI ARITHMETIC_OVERFLOW) instead of failing clearly; bound
+            # it here at config load
+            if len(issue.specific_process) > 1023:
+                raise ConfigError(
+                    f"Issues.{iname!r} lists {len(issue.specific_process)} "
+                    f"processes; at most 1023 per issue are supported (the "
+                    f"scan-order key packs the process rank into 10 bits)"
+                )
             for pname, rgx in issue.specific_process.items():
                 _lint_pattern(f"Issues.{iname}.specific_process.{pname}", rgx)
             if issue.regex:
@@ -137,6 +135,27 @@ class ConfigSpec:
             for fname, rgx in issue.additional_fields.items():
                 _lint_pattern(f"Issues.{iname}.additional_fields.{fname}", rgx)
         return self
+
+
+def _anchor_event_pattern(name: str, rgx: str) -> str:
+    """The reference resolves important-event MATCH STRINGS through a
+    text→line-number map (details.go:158-161,177), so an UNANCHORED pattern's
+    substring match misses the map and silently reports line 0. Upstream
+    accepts such configs, so hard-rejecting them broke compat (ADVICE r2);
+    instead, auto-wrap to full-line form `(?m)^.*(?:…).*$` — the matched
+    string becomes the containing line, which resolves to the real line
+    number instead of the reference's line-0 artifact. Deliberate fail-soft
+    deviation, warned so config authors see it."""
+    if rgx.startswith("(?m)^") and rgx.endswith("$"):
+        return rgx
+    import warnings
+
+    warnings.warn(
+        f"ImportantEvents.{name!r} is not full-line anchored; auto-wrapping "
+        f"as '(?m)^.*(?:…).*$' (the reference would report line 0 for it)",
+        stacklevel=3,
+    )
+    return f"(?m)^.*(?:{rgx}).*$"
 
 
 def _as_str_map(d: object, what: str) -> dict[str, str]:
@@ -199,7 +218,12 @@ def parse_config(raw: dict) -> ConfigSpec:
         general=general,
         issues=issues,
         priority=priority,
-        important_events=_as_str_map(raw.get("ImportantEvents"), "ImportantEvents"),
+        important_events={
+            name: _anchor_event_pattern(name, rgx)
+            for name, rgx in _as_str_map(
+                raw.get("ImportantEvents"), "ImportantEvents"
+            ).items()
+        },
     ).validate()
 
 

@@ -30,7 +30,8 @@ def _ord():
     Packed into ONE BIGINT — min_by/max_by over a struct key drops the
     aggregate into interpreted struct ordering (measured ~5× slower).
     Bounds: proc_rank < 2^10 processes/issue, line_no < 2^33 lines/file,
-    match_pos < 2^20 matches/line; config lint bounds the process lists and
+    match_pos < 2^20 matches/line; ConfigSpec.validate() rejects issues
+    with >1023 processes (config.py, the ">= 1024 processes" lint), and
     the reference's own input cap (10 MiB uploads) keeps files far under
     2^33 lines."""
     return (
@@ -151,7 +152,11 @@ def field_contents(cfg: ConfigSpec, scope: DataFrame) -> DataFrame:
     aggs1 = []
     for k in range(len(pairs)):
         h = F.col(f"h{k}")
-        aggs1.append(F.sum(F.size(h)).alias(f"n{k}"))
+        # coalesce the null rows (non-owning issues) to 0 explicitly: under
+        # ANSI (Spark 4 default) size(NULL) is NULL and sum skips it, but on
+        # a legacy-mode 3.x cluster size(NULL) = -1 would silently subtract
+        # one per non-owning row — don't depend on the ANSI default
+        aggs1.append(F.sum(F.coalesce(F.size(h), F.lit(0))).alias(f"n{k}"))
         # collect_list skips the null produced by the un-otherwise'd when()
         # on rows of a different issue / zero-hit rows, so only owning,
         # matching rows enter the sort buffer
@@ -233,6 +238,15 @@ def assemble_summary(
     the inputs are already-aggregated tiny frames. The Timestamp/LogLevel
     extracts run here in Python `re` — the exact engine the oracle and the
     reference (RE2 subset) define them in."""
+    # driver-side assembly is only safe while #sources × #issues is
+    # config-sized — fail loudly instead of OOMing the driver if a corpus
+    # ever carries an unbounded source set into this path
+    if len(sources) * max(len(cfg.issues), 1) > 1_000_000:
+        raise ValueError(
+            f"summary assembly is driver-side and bounded: "
+            f"{len(sources)} sources x {len(cfg.issues)} issues > 1e6 rows; "
+            f"shard the source set or aggregate the summary distributed"
+        )
     ts_rgx = re.compile(cfg.general.timestamp) if cfg.general.timestamp else None
     lvl_rgx = re.compile(cfg.general.log_level) if cfg.general.log_level else None
 

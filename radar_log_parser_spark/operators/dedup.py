@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from radar_log_parser_spark.operators.logquery import QuerySpec, _docs
+from radar_log_parser_spark.operators.logquery import QuerySpec, _docs, fan_out
 
 JACCARD_NUM = 6  # threshold 0.6 as integer ratio (no float hash risk)
 JACCARD_DEN = 10
@@ -167,9 +167,23 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline (rows-only driver check; pytest asserts equality with the
     exact pairs at this threshold)."""
     docs = _docs(spark, sf_dir).filter(F.size(F.split("text", " ")) >= 3)
-    sh = docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"), shingles_col().alias("sh")
-    ).persist()
+    # The shingle frame feeds THREE consumers (signatures, verify-a,
+    # verify-b); its higher-order shingling is interpreted, so recomputing
+    # it per consumer triples the dominant cost. Materialize it ONCE as a
+    # SERIALIZED eager localCheckpoint — the deserialized MEMORY_ONLY
+    # .persist() used before is the storage-pool eviction pathology
+    # documented in BENCH/BASELINE.md (build/read varied 10→59→21s);
+    # serialized row blocks are stable (7-8s builds, 0.5s reads there).
+    from pyspark import StorageLevel
+
+    sh = (
+        fan_out(spark, docs)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            shingles_col().alias("sh"),
+        )
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
+    )
     sigs = minhash_signatures(sh)
     cand = lsh_candidate_pairs(sigs)
     a = sh.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh"))
@@ -184,48 +198,152 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("inter") * JACCARD_DEN >= JACCARD_NUM * F.col("uni"))
 
 
+# --- MinHash+LSH, cross-engine hash family (oracle-checkable) ---------------
+MD5_PERMS = 16
+MD5_BANDS = 4  # 4 bands × 4 rows
+
+
+def q_dedup_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME band-bucket LSH algorithm as q_dedup_minhash_lsh, but with a
+    hash family BOTH engines can compute bit-identically — md5 (first 15 hex
+    digits as a 60-bit integer), seeded per permutation — so the scale path
+    itself gets a full DuckDB oracle row, not just a property test against
+    the exact baseline (VERDICT r2 stretch item: murmur3/xxhash64 have no
+    DuckDB equivalent; md5 does).
+
+    Plan shape is identical to the production path: explode shingles → 16
+    min-aggregates (map-side partial agg) → 4-row band arrays → band-bucket
+    equi-join on the band's row array → verify colliding candidates with
+    exact Jaccard. Shuffle O(n·bands); never all-pairs. md5 is ~3× slower
+    per hash than murmur3, which is why the production path keeps F.hash —
+    this variant exists for cross-engine verifiability."""
+    docs = _docs(spark, sf_dir).filter(F.size(F.split("text", " ")) >= 3)
+    sh = fan_out(spark, docs).select(
+        F.col("doc_id").cast("long").alias("doc_id"), shingles_col().alias("sh")
+    )
+    ex = sh.select("doc_id", F.explode("sh").alias("shingle"))
+
+    def h(i: int):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    wide = ex.groupBy("doc_id").agg(
+        *[F.min(h(i)).alias(f"h{i}") for i in range(MD5_PERMS)]
+    )
+    rows_per_band = MD5_PERMS // MD5_BANDS
+    bands = wide.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[
+                F.array(*[
+                    F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)
+                ])
+                for b in range(MD5_BANDS)
+            ])
+        ).alias("band", "bh"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .dropDuplicates()
+    )
+    va = sh.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh"))
+    vb = sh.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh"))
+    verified = cand.join(va, "a_id").join(vb, "b_id")
+    inter = F.size(F.array_intersect("a_sh", "b_sh"))
+    uni = F.size("a_sh") + F.size("b_sh") - inter
+    return verified.select(
+        "a_id", "b_id",
+        inter.cast("long").alias("inter"),
+        uni.cast("long").alias("uni"),
+    ).filter(F.col("inter") * JACCARD_DEN >= JACCARD_NUM * F.col("uni"))
+
+
+Q_DEDUP_MINHASH_LSH_MD5_SQL = f"""
+WITH docs AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, {_SHINGLE_SQL} AS sh
+  FROM documents WHERE len(string_split(text,' ')) >= 3
+),
+ex AS (SELECT doc_id, unnest(sh) AS shingle FROM docs),
+hs AS (
+  SELECT doc_id, i,
+         min(('0x' || substr(md5(i::VARCHAR || ':' || shingle), 1, 15))::BIGINT) AS h
+  FROM ex CROSS JOIN range({MD5_PERMS}) t(i)
+  GROUP BY doc_id, i
+),
+bands AS (
+  SELECT doc_id, i // {MD5_PERMS // MD5_BANDS} AS band, list(h ORDER BY i) AS bh
+  FROM hs GROUP BY doc_id, i // {MD5_PERMS // MD5_BANDS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+)
+SELECT a_id, b_id,
+       CAST(len(list_intersect(da.sh, db.sh)) AS BIGINT) AS inter,
+       CAST(len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh)) AS BIGINT) AS uni
+FROM cand JOIN docs da ON cand.a_id = da.doc_id
+          JOIN docs db ON cand.b_id = db.doc_id
+WHERE len(list_intersect(da.sh, db.sh)) * {JACCARD_DEN}
+      >= {JACCARD_NUM} * (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh)))
+"""
+
+
 # --- SimHash -----------------------------------------------------------------
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """63-bit SimHash fingerprints (doc_id, simhash), computed ENTIRELY
     JVM-side: explode distinct 3-word shingles → `xxhash64` per shingle →
-    per-bit ±1 majority vote as 63 codegen'd sum aggregates → reassemble
-    the winning bits. No Python anywhere (the previous per-row
-    hashlib.blake2b loop violated the no-per-row-Python contract and was
-    the plan's only Python hot path). Shuffle rows are (doc_id, 63 longs)
-    after map-side partial aggregation — narrow and skew-free.
+    broadcast-expand to one (doc_id, bit, ±1 vote) row per bit → ONE narrow
+    `groupBy(doc_id, bit).sum` (map-side partial agg) → compact reassembly
+    `sum(1<<bit where vote>0)` per doc. No Python anywhere.
+
+    Why narrow rows instead of 63 sum-aggregates in one groupBy: the wide
+    form's generated aggregate (63 when-sums + a 63-term reassembly) blows
+    past `spark.sql.codegen.hugeMethodLimit` and silently drops to
+    INTERPRETED evaluation — measured 16× slower (BENCH_r02 14.8s vs 0.9s)
+    on unchanged data. Two small codegen'd aggregates over (long,int,int)
+    rows keep every stage inside whole-stage codegen; shuffle volume is
+    ≤ 63 narrow rows/doc after partial aggregation — skew-free and linear.
 
     Near-dup candidates are low-Hamming pairs; pytest verifies planted
     near-dups land within Hamming ≤ 12 while random pairs stay far."""
     docs = _docs(spark, sf_dir).select(
         F.col("doc_id").cast("long").alias("doc_id"), "text"
     )
-    sh = docs.filter(F.size(F.split("text", " ")) >= 3).select(
+    sh = fan_out(spark, docs.filter(F.size(F.split("text", " ")) >= 3)).select(
         "doc_id", F.explode(shingles_col()).alias("shingle")
     )
-    h = F.xxhash64("shingle")
-    votes = sh.select(
+    hb = sh.select("doc_id", F.xxhash64("shingle").alias("h"))
+    # 63-row broadcast expansion (BroadcastNestedLoopJoin, codegen'd) — a
+    # higher-order filter(sequence(0,62), …) would be interpreted per row
+    bits = spark.range(63).select(F.col("id").cast("int").alias("bit"))
+    votes = hb.crossJoin(F.broadcast(bits)).select(
         "doc_id",
-        *[
-            F.when(h.bitwiseAND(F.lit(1 << b).cast("long")) != 0, 1)
-            .otherwise(-1)
-            .alias(f"b{b}")
-            for b in range(63)
-        ],
+        "bit",
+        F.when(F.expr("(shiftright(h, bit) & 1) = 1"), F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("vote"),
     )
-    per_doc = votes.groupBy("doc_id").agg(
-        *[F.sum(f"b{b}").alias(f"v{b}") for b in range(63)]
-    )
-    sim = per_doc.select(
-        "doc_id",
-        sum(
-            [
-                F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
-                    F.lit(0).cast("long")
-                )
-                for b in range(63)
-            ],
-            F.lit(0).cast("long"),
-        ).alias("simhash"),
+    per_bit = votes.groupBy("doc_id", "bit").agg(F.sum("vote").alias("v"))
+    sim = per_bit.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
     )
     # docs with <3 words carry fingerprint 0 (no shingles to vote)
     return docs.select("doc_id").join(sim, "doc_id", "left").select(
@@ -299,6 +417,9 @@ SPECS: list[QuerySpec] = [
               q_dedup_ngram_jaccard, Q_DEDUP_NGRAM_JACCARD_SQL),
     QuerySpec("dedup_minhash_lsh", "MinHash+LSH scale path (rows-only)",
               q_dedup_minhash_lsh, None),
+    QuerySpec("dedup_minhash_lsh_md5", "MinHash+LSH with cross-engine md5 "
+              "hash family (full oracle)", q_dedup_minhash_lsh_md5,
+              Q_DEDUP_MINHASH_LSH_MD5_SQL),
     QuerySpec("dedup_simhash", "SimHash fingerprints (rows-only)",
               q_dedup_simhash, None),
     QuerySpec("dedup_embedding_cosine", "embedding cosine near-dup pairs",

@@ -34,6 +34,15 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's default parallelism, used
+    ahead of row-EXPANDING chains (shingle explode, bit expansion, pairwise
+    scoring): a low-split source (one small parquet file here; one cold
+    region at 100 TB) would otherwise run the whole expansion on the few
+    scan tasks. The shuffle moves only the narrow pre-expansion rows."""
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
@@ -218,20 +227,44 @@ FROM (
 def q_field_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F5/A4 (getFieldContent, analyzeLog.go:305-313): per source, the count
     of field-pattern matches plus the newline-joined matches in scan order
-    (the reference's '<n> :  <joined>' cell, split into typed columns)."""
+    (the reference's '<n> :  <joined>' cell, split into typed columns).
+
+    Two-level ordered aggregation (same bucket scheme as the engine-side
+    aggregates.field_contents): a single collect_list+sort per source would
+    funnel every match of a source through ONE reducer's sort buffer — the
+    scale-killer at 100×. Level 1 buckets by doc_id div 65536 and builds
+    per-bucket joined strings in parallel (pre-joined per row, so the sorted
+    structs are (bigint, string) — binary-comparable, codegen'd); level 2
+    merges the few bucket strings in bucket order."""
     docs = _docs(spark, sf_dir)
     per_row = docs.select(
         "source", "doc_id",
         F.regexp_extract_all("text", F.lit(FIELD_PATTERN), 0).alias("hits"),
     ).filter(F.size("hits") > 0)
-    return per_row.groupBy("source").agg(
-        F.sum(F.size("hits")).cast("long").alias("n"),
+    bucket = F.floor(F.col("doc_id") / F.lit(65536)).alias("bucket")
+    lvl1 = per_row.groupBy("source", bucket).agg(
+        F.sum(F.size("hits")).cast("long").alias("n1"),
         F.array_join(
-            F.flatten(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("doc_id", "hits"))),
-                    lambda s: s["hits"],
-                )
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("doc_id").cast("long").alias("ord"),
+                            F.array_join("hits", "\n").alias("s"),
+                        )
+                    )
+                ),
+                lambda s: s["s"],
+            ),
+            "\n",
+        ).alias("j1"),
+    )
+    return lvl1.groupBy("source").agg(
+        F.sum("n1").cast("long").alias("n"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("bucket", F.col("j1").alias("jp")))),
+                lambda s: s["jp"],
             ),
             "\n",
         ).alias("joined"),
@@ -369,7 +402,15 @@ def q_context_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # running sum under a PARTITIONED window. segment = offset + intra.
     bucket = (F.col("doc_id") / F.lit(1 << 20)).cast("long").alias("bucket")
     per_bucket = flagged.groupBy(bucket).agg(F.sum("flag").alias("c"))
-    w_off = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+    # single-partition window is BOUNDED BY CONSTRUCTION: the bucket table
+    # has n/2^20 rows (~10^6 at 10^12 input rows). partitionBy(lit(0)) gives
+    # the window an explicit (constant) partition spec so the plan carries
+    # the bound instead of tripping the global-window warning.
+    w_off = (
+        W.partitionBy(F.lit(0))
+        .orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
     offsets = per_bucket.select(
         "bucket", F.coalesce(F.sum("c").over(w_off), F.lit(0)).alias("offset")
     )

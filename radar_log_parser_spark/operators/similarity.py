@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from radar_log_parser_spark.operators.dedup import _dot, _norm_col
-from radar_log_parser_spark.operators.logquery import QuerySpec
+from radar_log_parser_spark.operators.logquery import QuerySpec, fan_out
 
 TOP_K = 5
 N_QUERIES = 8  # vec_id < 8 are the query set
@@ -23,7 +23,11 @@ IVF_PROBES = 4
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    # fan out BEFORE the per-vector math: the dot/norm folds are per-row
+    # expensive, and a single-file source would run them on one scan task
+    return fan_out(
+        spark, spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ).select(
         F.col("vec_id").cast("long").alias("vec_id"),
         "embedding",
         _norm_col(F.col("embedding")).alias("nrm"),
@@ -83,12 +87,19 @@ def ivf_centroids(emb: DataFrame, k: int = IVF_K) -> DataFrame:
     centroid set O(n): an unbounded broadcast and an n×n/N assignment
     join). orderBy+limit compiles to TakeOrderedAndProject: one scan with
     per-partition top-k, k rows to the driver."""
+    # this window ranks exactly k (=64) rows — bounded by the limit(k)
+    # above, never by table size; partitionBy(lit(0)) declares the constant
+    # partition so the bounded single-partition sort is explicit in the plan
     return (
         emb.orderBy(F.xxhash64("vec_id"), F.asc("vec_id"))
         .limit(k)
         .select(
             F.row_number()
-            .over(W.orderBy(F.xxhash64("vec_id"), F.asc("vec_id")))
+            .over(
+                W.partitionBy(F.lit(0)).orderBy(
+                    F.xxhash64("vec_id"), F.asc("vec_id")
+                )
+            )
             .cast("long")
             .alias("cell"),
             F.col("embedding").alias("c_emb"),

@@ -178,19 +178,31 @@ class Checkpointer:
         self._write_data(stage, df, buckets)
         metrics = StageMetrics(stage=stage, fingerprint=fingerprint)
         metrics.wall_s = time.monotonic() - t0
-        # per-partition lineage: row counts straight from parquet footers
-        # (Iceberg data files are parquet too — walk the data dir)
-        import pyarrow.parquet as pq
-
-        data_dir = os.path.join(out, "data") if self.fmt == "iceberg" else out
         total = 0
-        for root, _dirs, names in os.walk(data_dir):
-            for name in sorted(names):
-                if not name.endswith(".parquet"):
-                    continue
-                n = pq.ParquetFile(os.path.join(root, name)).metadata.num_rows
-                metrics.per_file_rows[os.path.relpath(os.path.join(root, name), data_dir)] = n
-                total += n
+        if self.fmt == "iceberg":
+            # per-partition lineage from the CURRENT snapshot's `.files`
+            # metadata table — walking the data dir would also count data
+            # files kept on disk by superseded snapshots (createOrReplace
+            # retains history), overcounting after any stage re-write
+            for r in (
+                self.spark.read.table(f"{self._table(stage)}.files")
+                .select("file_path", "record_count")
+                .collect()
+            ):
+                rel = os.path.relpath(r["file_path"].removeprefix("file:"), out)
+                metrics.per_file_rows[rel] = int(r["record_count"])
+                total += int(r["record_count"])
+        else:
+            # parquet: row counts straight from the footers
+            import pyarrow.parquet as pq
+
+            for root, _dirs, names in os.walk(out):
+                for name in sorted(names):
+                    if not name.endswith(".parquet"):
+                        continue
+                    n = pq.ParquetFile(os.path.join(root, name)).metadata.num_rows
+                    metrics.per_file_rows[os.path.relpath(os.path.join(root, name), out)] = n
+                    total += n
         metrics.rows = total
         metrics.files = len(metrics.per_file_rows)
         os.makedirs(out, exist_ok=True)
@@ -345,16 +357,26 @@ class Pipeline:
 
         # the Q1 keep-set is config-sized: collect it ONCE and re-plan it as
         # a literal frame, so the N broadcast-join consumers below don't each
-        # schedule their own keep-set job over the parsed frame
-        t0 = time.monotonic()
-        kept_src = routing.kept_processes(parsed)
-        kept = spark.createDataFrame(kept_src.collect(), kept_src.schema)
+        # schedule their own keep-set job over the parsed frame. LAZY +
+        # memoized: on a fully-checkpointed resume no stage build runs, so
+        # the keep-set scan must not be scheduled at all (ADVICE r2).
+        _kept_memo: list = []
+
+        def kept() -> DataFrame:
+            if not _kept_memo:
+                s = time.monotonic()
+                kept_src = routing.kept_processes(parsed)
+                _kept_memo.append(
+                    spark.createDataFrame(kept_src.collect(), kept_src.schema)
+                )
+                self.timings["kept"] = round(time.monotonic() - s, 2)
+            return _kept_memo[0]
+
         ipmap = routing.issue_process_map(spark, cfg)
-        self.timings["kept"] = round(time.monotonic() - t0, 2)
 
         specific = self._stage(
             "specific_issues",
-            lambda: routing.specific_issues(parsed, kept),
+            lambda: routing.specific_issues(parsed, kept()),
             parents=["parsed"],
             # row sinks are consumed per-source (the reference's per-report
             # views) → cluster by source, salted against hot sources
@@ -362,7 +384,7 @@ class Pipeline:
         )
         scope = self._stage(
             "scoped",
-            lambda: routing.scoped_direct(parsed, kept, ipmap, cfg),
+            lambda: routing.scoped_direct(parsed, kept(), ipmap, cfg),
             parents=["parsed"],
             bucket_by="doc_id",
         )
