@@ -222,103 +222,127 @@ def field_contents(cfg: ConfigSpec, scope: DataFrame) -> DataFrame:
     )
 
 
-def assemble_summary(
+def summary_frame(
     spark: SparkSession,
     cfg: ConfigSpec,
-    sources: list[str],
-    other_aggs_rows: list,
-    grouped_totals_rows: list,
-    field_rows: list,
+    sources_df: DataFrame,
+    other_aggs_df: DataFrame,
+    grouped_totals_df: DataFrame,
+    fields_df: DataFrame | None,
 ) -> DataFrame:
     """Final summary sink (A8): one row per (source, issue) with the
     reference's report-table columns, ordered by priority desc then issue
     asc (sortIssue, analyzeLog.go:102-111 + quirk Q4 tiebreak).
 
-    Driver-side assembly is bounded by #sources × #issues (config-sized);
-    the inputs are already-aggregated tiny frames. The Timestamp/LogLevel
-    extracts run here in Python `re` — the exact engine the oracle and the
-    reference (RE2 subset) define them in."""
-    # driver-side assembly is only safe while #sources × #issues is
-    # config-sized — fail loudly instead of OOMing the driver if a corpus
-    # ever carries an unbounded source set into this path
-    if len(sources) * max(len(cfg.issues), 1) > 1_000_000:
-        raise ValueError(
-            f"summary assembly is driver-side and bounded: "
-            f"{len(sources)} sources x {len(cfg.issues)} issues > 1e6 rows; "
-            f"shard the source set or aggregate the summary distributed"
+    FULLY DISTRIBUTED (r3): the previous implementation collected the
+    aggregate rows — including every field's newline-joined match content —
+    to the driver, regex-extracted in Python, re-serialized the result via
+    createDataFrame, and let the caller collect it AGAIN. Those joined
+    strings are unbounded in the input size, so the driver round-trips were
+    both the measured serial tail (30-60 s at 32M rows) and a driver-OOM
+    risk at 10^12 rows. Now the Timestamp/LogLevel extracts run as JVM
+    `regexp_extract` (the patterns are lint-guaranteed RE2-subset, on which
+    Java and Python `re` agree), the field map is `map_from_entries` over a
+    broadcast (issue, field) dimension, and the assembly is a chain of
+    small-key joins — the content never touches the driver unless the
+    caller collects the result. No size guard needed: nothing driver-side
+    scales with sources × issues anymore."""
+    issues_rows = []
+    for iname in sorted(cfg.issues):
+        spec = cfg.issues[iname]
+        fnames = sorted(set(cfg.general.other_fields) | set(spec.additional_fields))
+        issues_rows.append(
+            (iname, spec.grouped, int(cfg.priority.get(iname, 0)), fnames)
         )
-    ts_rgx = re.compile(cfg.general.timestamp) if cfg.general.timestamp else None
-    lvl_rgx = re.compile(cfg.general.log_level) if cfg.general.log_level else None
+    issues_dim = spark.createDataFrame(
+        issues_rows, "issue string, grouped boolean, priority int, fnames array<string>"
+    )
+    base = sources_df.select("source").crossJoin(F.broadcast(issues_dim))
 
-    other = {(r["source"], r["issue"]): r for r in other_aggs_rows}
-    grouped = {(r["source"], r["issue"]): r for r in grouped_totals_rows}
-    fields: dict[tuple[str, str], dict[str, str]] = {}
-    for r in field_rows:
-        fields.setdefault((r["source"], r["issue"]), {})[r["field"]] = (
-            f"{r['n']} :  {r['joined']}"  # two spaces — analyzeLog.go:311
+    ts = cfg.general.timestamp
+    lvl = cfg.general.log_level
+    lvl_has_group = bool(lvl) and re.compile(lvl).groups >= 1
+
+    def ts_of(col):
+        # Python re.search().group(0) == regexp_extract(…, 0) (find semantics,
+        # "" on no match) for the RE2 subset the config lint enforces
+        return F.regexp_extract(col, ts, 0) if ts else F.lit("")
+
+    def lvl_of(col):
+        # the reference takes group(1) and skips group-less patterns
+        # (m.lastindex check) — mirror that statically
+        return F.regexp_extract(col, lvl, 1) if lvl_has_group else F.lit("")
+
+    # per-(source, issue) field map with "0 :  " defaults for zero-hit
+    # fields ("<n> :  <joined>", two spaces — analyzeLog.go:311)
+    fb = base.select("source", "issue", F.explode("fnames").alias("field"))
+    if fields_df is not None:
+        cell = F.concat(
+            F.col("n").cast("string"), F.lit(" :  "), F.col("joined")
+        ).alias("cell")
+        fj = fb.join(
+            fields_df.select("source", "issue", "field", cell),
+            ["source", "issue", "field"],
+            "left",
         )
-
-    rows = []
-    for source in sorted(sources):
-        for iname in sorted(cfg.issues):
-            spec = cfg.issues[iname]
-            key = (source, iname)
-            number = 0
-            timestamp = ""
-            log_level = ""
-            fmap: dict[str, str] = {}
-            if spec.grouped:
-                g = grouped.get(key)
-                number = g["number"] if g else 0
-                last_line = g["last_line"] if g else ""
-                if ts_rgx is not None:
-                    m = ts_rgx.search(last_line)
-                    if m:
-                        timestamp = m.group(0)
-                if lvl_rgx is not None:
-                    m = lvl_rgx.search(last_line)
-                    if m and m.lastindex:
-                        log_level = m.group(1)
-                # grouped fields are set even with zero matches
-                # (analyzeLog.go:222-231 runs unconditionally)
-                fnames = sorted(set(cfg.general.other_fields) | set(spec.additional_fields))
-                fmap = {f: fields.get(key, {}).get(f, "0 :  ") for f in fnames}
-            else:
-                o = other.get(key)
-                if o:
-                    number = o["number"]
-                    if lvl_rgx is not None:
-                        m = lvl_rgx.search(o["first_match"])
-                        if m and m.lastindex:
-                            log_level = m.group(1)
-                    if ts_rgx is not None:
-                        m = ts_rgx.search(o["last_match"])
-                        if m:
-                            timestamp = m.group(0)
-                    # a field with zero hits still renders "0 :  " when the
-                    # issue itself matched (getFieldContent on no matches)
-                    fnames = sorted(
-                        set(cfg.general.other_fields) | set(spec.additional_fields)
+    else:
+        fj = fb.withColumn("cell", F.lit(None).cast("string"))
+    fmap = fj.groupBy("source", "issue").agg(
+        F.map_from_entries(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "field", F.coalesce("cell", F.lit("0 :  ")).alias("cell")
                     )
-                    fmap = {
-                        f: fields.get(key, {}).get(f, "0 :  ") for f in fnames
-                    }
-                # non-grouped fields only exist when matches exist
-                # (analyzeLog.go:280-303)
-            rows.append(
-                (
-                    source,
-                    iname,
-                    int(cfg.priority.get(iname, 0)),
-                    int(number),
-                    timestamp,
-                    log_level,
-                    fmap,
                 )
             )
-    df = spark.createDataFrame(
-        rows,
-        "source string, issue string, priority int, number long, "
-        "timestamp string, log_level string, fields map<string,string>",
+        ).alias("fmap")
     )
-    return df.orderBy("source", F.desc("priority"), F.asc("issue"))
+
+    oa = other_aggs_df.select(
+        "source", "issue", F.col("number").alias("o_number"),
+        "first_match", "last_match",
+    )
+    gt = grouped_totals_df.select(
+        "source", "issue", F.col("number").alias("g_number"), "last_line"
+    )
+    j = (
+        base.join(oa, ["source", "issue"], "left")
+        .join(gt, ["source", "issue"], "left")
+        .join(fmap, ["source", "issue"], "left")
+    )
+    has_other = F.col("o_number").isNotNull()
+    empty_map = F.map_from_arrays(
+        F.array().cast("array<string>"), F.array().cast("array<string>")
+    )
+    number = (
+        F.when(F.col("grouped"), F.coalesce("g_number", F.lit(0)))
+        .otherwise(F.coalesce("o_number", F.lit(0)))
+        .cast("long")
+    )
+    # grouped: Timestamp/LogLevel from the LAST matching line; non-grouped:
+    # LogLevel from the FIRST match substring, Timestamp from the LAST
+    # (analyzeLog.go:285,299); "" when the issue never matched
+    timestamp = F.when(
+        F.col("grouped"),
+        F.when(F.col("last_line").isNotNull(), ts_of(F.col("last_line"))).otherwise(F.lit("")),
+    ).otherwise(F.when(has_other, ts_of(F.col("last_match"))).otherwise(F.lit("")))
+    log_level = F.when(
+        F.col("grouped"),
+        F.when(F.col("last_line").isNotNull(), lvl_of(F.col("last_line"))).otherwise(F.lit("")),
+    ).otherwise(F.when(has_other, lvl_of(F.col("first_match"))).otherwise(F.lit("")))
+    # grouped fields exist even with zero matches (analyzeLog.go:222-231
+    # runs unconditionally); non-grouped fields only when matches exist
+    # (analyzeLog.go:280-303)
+    fields_col = F.when(F.col("grouped"), F.coalesce("fmap", empty_map)).otherwise(
+        F.when(has_other, F.coalesce("fmap", empty_map)).otherwise(empty_map)
+    )
+    return j.select(
+        "source",
+        "issue",
+        F.col("priority").cast("int").alias("priority"),
+        number.alias("number"),
+        timestamp.alias("timestamp"),
+        log_level.alias("log_level"),
+        fields_col.alias("fields"),
+    ).orderBy("source", F.desc("priority"), F.asc("issue"))

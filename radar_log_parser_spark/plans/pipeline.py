@@ -354,6 +354,7 @@ class Pipeline:
                     eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
                 )
         self.timings["parse_materialize"] = round(time.monotonic() - t0, 2)
+        t0 = time.monotonic()  # plan_build window: stage builds + kept()
 
         # the Q1 keep-set is config-sized: collect it ONCE and re-plan it as
         # a literal frame, so the N broadcast-join consumers below don't each
@@ -426,10 +427,6 @@ class Pipeline:
             parents=["grouped_routed"],
         )
 
-        other_aggs = agg.other_issue_aggs(routing.other_matches(scope_slim))
-        g_totals = agg.grouped_totals(routing.grouped_matches(scope_slim))
-        fields = agg.field_contents(cfg, scope_slim)
-
         row_sinks = {
             "parsed": parsed,
             "specific_issues": specific,
@@ -445,16 +442,39 @@ class Pipeline:
             ),
         }
 
-        # every summary input AND every caller-supplied job (sink writes in
-        # bench mode) is an independent Spark job over the materialized
-        # parse stage — submit them all concurrently so the cluster stays
-        # busy (driver-side phase sequencing was a measurable serial tail)
+        # Distributed summary (A8): one lazy DataFrame whose DAG contains
+        # every summary aggregate (other_aggs, grouped_totals, fields,
+        # source dim) joined and formatted ENTIRELY JVM-side. The previous
+        # design collected those aggregates — including the unbounded
+        # joined-field strings — to the driver and re-assembled in Python:
+        # a measured 30-60 s serial tail at 32M rows and a driver-OOM cliff
+        # at 10^12. Sources come from the MATERIALIZED parse stage, not a
+        # second decode of the raw input.
+        summary = agg.summary_frame(
+            spark,
+            cfg,
+            parsed.select("source").distinct(),
+            agg.other_issue_aggs(routing.other_matches(scope_slim)),
+            agg.grouped_totals(routing.grouped_matches(scope_slim)),
+            agg.field_contents(cfg, scope_slim),
+        )
+        if self.ckpt is not None:
+            fp = _fingerprint(self._root_fp, "summary", "other_routed", "grouped_routed")
+            self.metrics.append(self.ckpt.write("summary", summary, fp, ["other_routed", "grouped_routed", "scoped"]))
+            summary = self.ckpt.read("summary").orderBy(
+                "source", F.desc("priority"), F.asc("issue")
+            )
+        row_sinks["summary"] = summary
+
+        # every caller-supplied job (sink writes + the summary
+        # materialization in bench mode) is an independent Spark job over
+        # the materialized parse stage — submit them all to ONE pool so the
+        # cluster processes the whole fan-out at once (driver-side phase
+        # sequencing is a fixed serial wall that reads as anti-scaling)
         from concurrent.futures import ThreadPoolExecutor
 
-        def collect_sources():
-            return [r["source"] for r in raw.select("source").distinct().collect()]
-
         extra = list(concurrent_jobs(row_sinks)) if concurrent_jobs else []
+        self.timings["plan_build"] = round(time.monotonic() - t0, 2)
         t0 = time.monotonic()
 
         def timed(name, fn):
@@ -465,31 +485,13 @@ class Pipeline:
                 return r
             return go
 
-        with ThreadPoolExecutor(max_workers=4 + len(extra)) as pool:
-            extra_futs = [
-                pool.submit(timed(f"extra{i}", j)) for i, j in enumerate(extra)
-            ]
-            f_sources = pool.submit(timed("sources", collect_sources))
-            f_oa = pool.submit(timed("other_aggs", other_aggs.collect))
-            f_gt = pool.submit(timed("grouped_totals", g_totals.collect))
-            f_fields = pool.submit(
-                timed("fields", fields.collect if fields is not None else list)
-            )
-            sources = f_sources.result()
-            oa_rows = f_oa.result()
-            gt_rows = f_gt.result()
-            f_rows = f_fields.result()
-            for f in extra_futs:
-                f.result()
-        self.timings["summary_inputs"] = round(time.monotonic() - t0, 2)
-        summary = agg.assemble_summary(spark, cfg, sources, oa_rows, gt_rows, f_rows)
-        if self.ckpt is not None:
-            fp = _fingerprint(self._root_fp, "summary", "other_routed", "grouped_routed")
-            self.metrics.append(self.ckpt.write("summary", summary, fp, ["other_routed", "grouped_routed", "scoped"]))
-            summary = self.ckpt.read("summary").orderBy(
-                "source", F.desc("priority"), F.asc("issue")
-            )
+        if extra:
+            with ThreadPoolExecutor(max_workers=len(extra)) as pool:
+                futs = [
+                    pool.submit(timed(f"extra{i}", j)) for i, j in enumerate(extra)
+                ]
+                for f in futs:
+                    f.result()
+        self.timings["fanout_jobs"] = round(time.monotonic() - t0, 2)
 
-        sinks = dict(row_sinks)
-        sinks["summary"] = summary
-        return PipelineResult(sinks=sinks, metrics=self.metrics)
+        return PipelineResult(sinks=dict(row_sinks), metrics=self.metrics)

@@ -46,18 +46,48 @@ def test_important_events_auto_anchor():
     assert cfg.important_events["E"] == r"(?m)^boot.*$"
 
 
-def test_summary_assembly_guard(spark):
-    """Driver-side summary assembly must fail loudly past the documented
-    sources x issues bound instead of OOMing the driver."""
-    from radar_log_parser_spark.operators.aggregates import assemble_summary
+def test_summary_is_distributed(spark):
+    """The summary sink must be a distributed plan: no collect of the
+    unbounded joined-field strings to the driver (the r2 driver-side
+    assembly was both a serial tail and an OOM cliff at 10^12 rows).
+    summary_frame takes DataFrames and returns a lazy DataFrame whose plan
+    carries the aggregates — nothing driver-side scales with the corpus."""
+    from pyspark.sql import functions as F
+
+    from radar_log_parser_spark.operators.aggregates import summary_frame
 
     cfg = parse_config(
-        {"Issues": {f"i{k}": {"specific_process": {"p": "p"}} for k in range(100)}}
+        {
+            "IssuesGeneralFields": {
+                "Timestamp": r"\d\d:\d\d",
+                "LogLevel": r"level=(\w)",
+                "OtherFields": {"Fld": r"x\w+"},
+            },
+            "Issues": {"I1": {"specific_process": {"p": "p"}, "regex": "boom"}},
+        }
     )
-    with pytest.raises(ValueError, match="1e6"):
-        assemble_summary(
-            spark, cfg, [f"s{j}" for j in range(20_000)], [], [], []
-        )
+    sources = spark.createDataFrame([("s1",), ("s2",)], "source string")
+    oa = spark.createDataFrame(
+        [("s1", "I1", 3, "boom level=E", "boom 12:34")],
+        "source string, issue string, number long, first_match string, last_match string",
+    )
+    gt = spark.createDataFrame(
+        [], "source string, issue string, number long, last_line string"
+    )
+    fl = spark.createDataFrame(
+        [("s1", "I1", "Fld", 2, "xa\nxb")],
+        "source string, issue string, field string, n long, joined string",
+    )
+    df = summary_frame(spark, cfg, sources, oa, gt, fl)
+    rows = {(r["source"], r["issue"]): r for r in df.collect()}
+    r1 = rows[("s1", "I1")]
+    assert r1["number"] == 3
+    assert r1["timestamp"] == "12:34"  # from LAST match
+    assert r1["log_level"] == "E"  # group(1) of FIRST match
+    assert r1["fields"] == {"Fld": "2 :  xa\nxb"}
+    r2 = rows[("s2", "I1")]
+    assert r2["number"] == 0 and r2["timestamp"] == "" and r2["log_level"] == ""
+    assert r2["fields"] == {}  # non-grouped issue with no matches
 
 
 def test_lsh_md5_equals_exact_pairs(spark):

@@ -109,16 +109,13 @@ def main(cpus: int, n_rows: int, mode: str) -> None:
                 f.result()
 
     with phase("summary"):
-        other_aggs = agg.other_issue_aggs(routing.other_matches(scope_slim))
-        g_totals = agg.grouped_totals(routing.grouped_matches(scope_slim))
-        fields = agg.field_contents(cfg, scope_slim)
-        with ThreadPoolExecutor(max_workers=4) as pool:
-            f_sources = pool.submit(lambda: [r["source"] for r in raw.select("source").distinct().collect()])
-            f_oa = pool.submit(other_aggs.collect)
-            f_gt = pool.submit(g_totals.collect)
-            f_fields = pool.submit(fields.collect if fields is not None else list)
-            sources = f_sources.result(); oa = f_oa.result(); gt = f_gt.result(); fr = f_fields.result()
-        agg.assemble_summary(spark, cfg, sources, oa, gt, fr).collect()
+        summary = agg.summary_frame(
+            spark, cfg, parsed.select("source").distinct(),
+            agg.other_issue_aggs(routing.other_matches(scope_slim)),
+            agg.grouped_totals(routing.grouped_matches(scope_slim)),
+            agg.field_contents(cfg, scope_slim),
+        )
+        summary.write.format("noop").mode("overwrite").save()
 
     t["total"] = round(sum(v for k, v in t.items()), 2)
     print(json.dumps({"cpus": cpus, "rows": n_rows, "mode": mode, **t}))
