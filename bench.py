@@ -317,7 +317,12 @@ def run_scaling(
              "--rows", str(n_rows), "--repeats", "1", "--small-dry"],
             capture_output=True, text=True, check=True, cwd=REPO, env=env,
         )
-        return json.loads(out.stdout.strip().splitlines()[-1])
+        r = json.loads(out.stdout.strip().splitlines()[-1])
+        # keep the timed run's phase breakdown for the evidence trail
+        phases = [ln for ln in out.stderr.splitlines() if "phase_timings" in ln]
+        if phases:
+            r["phases"] = json.loads(phases[-1])["phase_timings"]
+        return r
 
     pairs = []
     for i in range(rounds):
@@ -333,6 +338,8 @@ def run_scaling(
             "efficiency": round(eff, 3),
             "host_cpu_ratio": round(host_ratio, 2),
             "host_normalized": round(eff / (host_ratio / (n4 / n)), 3),
+            "phases_n": rn.get("phases", {}),
+            "phases_4n": r4.get("phases", {}),
         })
         print(json.dumps({"round": i, **pairs[-1]}), file=sys.stderr)
     best = max(pairs, key=lambda p: p["efficiency"])

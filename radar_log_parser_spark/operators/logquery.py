@@ -441,6 +441,39 @@ FROM (
 """
 
 
+# --- time-window rollup (hypertable-style, streaming-compatible shape) ------
+def q_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time rollup per event_type: count + integral
+    value sum. The same plan shape runs over a stream with a watermark
+    (streaming/ingest.windowed_event_counts_stream); tumbling windows align
+    to the epoch in both engines, so DuckDB's date_trunc is the oracle.
+    At scale this is the standard pre-aggregation for telemetry dashboards:
+    map-side partial agg, shuffle keyed by (window, type) — uniform unless
+    one type dominates, which AQE skew-split covers."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "value_cents",
+        )
+    )
+
+
+Q_WINDOW_ROLLUP_SQL = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY 1, 2
+"""
+
+
 # --- O1 + A8 + Q4: priority-ordered summary rollup --------------------------
 def q_priority_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O1/A8 (sortIssue, analyzeLog.go:102-111; report.html:74-93): one row
@@ -513,6 +546,8 @@ SPECS: list[QuerySpec] = [
               q_line_range, Q_LINE_RANGE_SQL),
     QuerySpec("context_segments", "F12 running-sum segmentation",
               q_context_segments, Q_CONTEXT_SEGMENTS_SQL),
+    QuerySpec("window_rollup", "tumbling event-time rollup (streaming shape)",
+              q_window_rollup, Q_WINDOW_ROLLUP_SQL),
     QuerySpec("priority_summary", "O1+A8+Q4 priority-ordered rollup",
               q_priority_summary, Q_PRIORITY_SUMMARY_SQL),
 ]

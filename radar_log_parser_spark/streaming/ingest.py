@@ -52,6 +52,67 @@ def severity_counts_stream(parsed: DataFrame) -> DataFrame:
     return sev.groupBy("source", "level").agg(F.sum("n").alias("n_matches"))
 
 
+EVENTS_DDL = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 8
+) -> DataFrame:
+    return (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(path)
+    )
+
+
+def windowed_event_counts_stream(
+    events: DataFrame, watermark: str = "30 minutes"
+) -> DataFrame:
+    """Watermarked tumbling-window rollup — the streaming twin of the batch
+    `q_window_rollup` operator (same plan shape; tumbling windows align to
+    the epoch). The watermark bounds state: windows older than max(event
+    time) - 30 min are finalized and evicted, so state size is
+    O(active windows × types), not O(stream length) — the property that
+    lets this run forever against a 10^12-event firehose. Late events
+    within the watermark still merge into their window; later ones are
+    dropped (documented lateness contract)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "value_cents"
+        )
+    )
+
+
+def run_windowed_available_now(
+    spark: SparkSession,
+    events_path: str,
+    checkpoint_dir: str,
+    query_name: str = "windowed_events",
+):
+    """Catch-up run of the watermarked window rollup (Trigger.AvailableNow);
+    append mode emits only watermark-finalized windows."""
+    counts = windowed_event_counts_stream(read_events_stream(spark, events_path))
+    q = (
+        counts.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
 def run_available_now(
     spark: SparkSession,
     input_path: str,

@@ -38,3 +38,51 @@ def test_available_now_matches_batch(spark, cfg, vocab, fx, tmp_path):
         (r["source"], r["level"], r["n_matches"]) for r in batch.collect()
     )
     assert stream_rows == batch_rows
+
+
+def test_windowed_stream_matches_batch_finalized(spark, tmp_path):
+    """Watermarked tumbling-window rollup over the events stream: append
+    mode must emit exactly the FINALIZED windows (window end ≤ final
+    watermark = max event time - 30 min), each with values identical to the
+    batch q_window_rollup operator; windows still open at end-of-input are
+    withheld — the lateness contract, not a loss."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from radar_log_parser_spark.operators.logquery import q_window_rollup
+    from radar_log_parser_spark.streaming.ingest import run_windowed_available_now
+
+    sf_dir = "/root/testdata/sf0.001"
+    stream_dir = tmp_path / "events_in"
+    stream_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", stream_dir / "part-00000.parquet")
+
+    got = run_windowed_available_now(
+        spark, str(stream_dir), checkpoint_dir=str(tmp_path / "wckpt"),
+        query_name="win_test",
+    )
+    stream_rows = {
+        (r["window_start"], r["event_type"]): (r["n"], r["value_cents"])
+        for r in got.collect()
+    }
+
+    batch = q_window_rollup(spark, sf_dir).collect()
+    batch_rows = {
+        (r["window_start"], r["event_type"]): (r["n"], r["value_cents"])
+        for r in batch
+    }
+    max_ts = spark.read.parquet(f"{sf_dir}/events.parquet").agg(
+        F.max("ts")
+    ).collect()[0][0]
+
+    import datetime
+
+    finalized = {
+        k: v
+        for k, v in batch_rows.items()
+        if k[0] + datetime.timedelta(hours=1)
+        <= max_ts - datetime.timedelta(minutes=30)
+    }
+    assert finalized, "fixture must contain at least one finalized window"
+    assert stream_rows == finalized
