@@ -398,6 +398,17 @@ class Pipeline:
         # serial wall and doubled block-store pressure, the measured reason
         # wall@4N exceeded wall@N in round 1.
         scope_slim = scope.drop("tokens", "n_tok")
+        if self.ckpt is None and os.environ.get("RLPS_BENCH_SLIM") == "lc":
+            # optional second materialization (A/B-gated): the summary DAG's
+            # three aggregate subtrees each re-derive the slim scope from
+            # the parsed blocks (3 full decodes = 3x memory traffic); on a
+            # bandwidth-capped host, serializing the slim scope once and
+            # reading it three times trades one build pass for two decodes
+            from pyspark import StorageLevel
+
+            scope_slim = scope_slim.localCheckpoint(
+                eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+            )
         self._scope_slim = scope_slim
         other = self._stage(
             "other_routed",
