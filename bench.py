@@ -33,8 +33,8 @@ CACHE = os.path.join(REPO, ".bench_cache")
 HEADLINERS = [
     "specific_process", "nongrouped_count", "grouped_tuples", "first_last",
     "field_content", "severity_enrich", "important_events", "line_range",
-    "context_segments", "priority_summary",
-    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "context_segments", "window_rollup", "priority_summary",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_minhash_lsh_md5", "dedup_simhash",
     "ann_topk_cosine", "ann_ivf_topk",
     "lang_id", "quality_score", "token_count", "doc_fingerprint", "media_meta",
 ]
