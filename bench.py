@@ -104,6 +104,14 @@ def run_pipeline_bench(
             # no UI listener: AppStatusListener bookkeeping is driver-serial
             # overhead a headless bench run never reads
             "spark.ui.enabled": "false",
+            # compress the materialized (localCheckpoint) blocks: the parsed
+            # rows are token arrays + templated strings that lz4 shrinks
+            # multi-×, and SEVEN consumers re-read those blocks per run — on
+            # this DRAM-bandwidth-capped host (and on any real cluster's
+            # memory bus) trading cheap per-core decompression for bytes
+            # moved is the right side of the trade. RLPS_RDD_COMPRESS=false
+            # for the A/B.
+            "spark.rdd.compress": os.environ.get("RLPS_RDD_COMPRESS", "true"),
             # one file per input split: the fixture's part files are ~0.5 MB
             # compressed (tokens compress hard) but decode to ~50× that; the
             # default 64m/4m packing would fuse them into a handful of
@@ -173,6 +181,7 @@ def run_pipeline_bench(
         "pipeline_seconds": round(dt, 3),
         "pipeline_rows_per_sec": round(n_rows / dt, 1),
         "pipeline_runs_sec": [round(r, 3) for r in runs],
+        "pipeline_spread_sec": round(max(runs) - min(runs), 3),
         "cpus": cpus,
     }
 
@@ -219,9 +228,11 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
 
     # --- north-rule metric: end-to-end parse→route→aggregate, measured in
     # a CLEAN JVM (subprocess) so headliner heap state can't pollute it ----
+    # ≥3 timed repeats with the spread reported: min-of-2 proved an
+    # unstable estimator on this drifting VM (r3: runs [54.6, 41.5])
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--pipeline-only",
-         "--cpus", str(cpus), "--sf-dir", sf_dir],
+         "--cpus", str(cpus), "--sf-dir", sf_dir, "--repeats", "3"],
         capture_output=True, text=True, check=True, cwd=REPO,
     )
     pipe = json.loads(out.stdout.strip().splitlines()[-1])
@@ -344,11 +355,10 @@ def run_scaling(
         _pipeline_fixture(_sf_of(sf_dir), n_rows=max(2_000_000, n_rows // 4))
 
     def one(cpus: int) -> dict:
-        # slim-scope materialization ON for scaling legs: the summary DAG's
-        # three subtrees otherwise re-decode the parsed blocks 3× — memory
-        # traffic, the resource the 4N leg is ceiling-bound on (A/B: summary
-        # job 186→85 s at 16 cores, BENCH/BASELINE.md)
-        env = dict(os.environ, RLPS_BENCH_CKPT=ckpt, RLPS_BENCH_SLIM="lc")
+        # slim-scope materialization + rdd.compress are pipeline DEFAULTS
+        # now (see Pipeline.run / run_pipeline_bench) — the scaling legs run
+        # the same configuration every other bench entry runs
+        env = dict(os.environ, RLPS_BENCH_CKPT=ckpt)
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--pipeline-only",
              "--cpus", str(cpus), "--sf-dir", sf_dir,
@@ -395,8 +405,11 @@ def run_scaling(
         "best_round": best,
         "scaling_efficiency": eff,
         "median_best3": round(median_best3, 3),
-        "gate": "efficiency >= 0.8",
-        "passes": eff >= 0.8,
+        # the GATE keys on median-of-best-3, not the max: the max over
+        # noisy rounds is an upward-biased estimator under CPU-steal drift
+        # (ADVICE r3) — the best round is reported as supporting context
+        "gate": "median_best3 >= 0.8",
+        "passes": median_best3 >= 0.8,
     }
     if write_md:
         _write_baseline_md(sf_dir, report, n, n4)
@@ -435,21 +448,33 @@ def _write_baseline_md(sf_dir, report, n, n4):
         "Spark efficiency by that ceiling — the host-imposed residual the "
         "north rule's gate cannot see from inside one VM.",
         "",
-        f"| round | wall@N={n} (s) | wall@4N={n4} (s) | thr@N (seq/s) | thr@4N (seq/s) | efficiency | host ×/4.0 | eff/host |",
-        "|---|---|---|---|---|---|---|---|",
+        f"| round | wall@N={n} (s) | wall@4N={n4} (s) | thr@N (seq/s) | thr@4N (seq/s) | efficiency | host CPU ×/4.0 | host DRAM ×/4.0 | eff/CPU-ceiling | eff/DRAM-ceiling |",
+        "|---|---|---|---|---|---|---|---|---|---|",
     ]
     for i, p in enumerate(report["rounds"]):
         lines.append(
             f"| {i} | {p['wall_n']} | {p['wall_4n']} | {p['thr_n']:,} | "
             f"{p['thr_4n']:,} | {p['efficiency']} | {p['host_cpu_ratio']} | "
-            f"{p['host_normalized']} |"
+            f"{p['host_mem_ratio']} | {p['host_normalized']} | "
+            f"{p['eff_vs_mem_ceiling']} |"
         )
+    med = report.get("median_best3", 0)
     lines += [
         "",
-        f"**Scaling efficiency (best round)** = (thr@4N / thr@N) / 4 = "
-        f"**{eff:.3f}** (gate: ≥ 0.8 → {'PASS' if eff >= 0.8 else 'FAIL'}); "
-        f"**median of best 3 rounds = {report.get('median_best3', 0):.3f}** "
-        f"over {len(report['rounds'])} rounds; "
+        "The two ceiling columns decompose each round's gap-to-1.0 into "
+        "host-imposed vs plan-imposed parts: `eff/CPU-ceiling` (resp. "
+        "`eff/DRAM-ceiling`) divides the round's Spark efficiency by the "
+        "fraction of ideal 4× the host's own pure-CPU (resp. bare memcpy "
+        "DRAM-bandwidth) multiprocessing control achieved in the same "
+        "window. A value ≥ 1.0 means the Spark job scaled AT or ABOVE the "
+        "ceiling the host could demonstrate for that resource — the "
+        "residual is the box, not the plan.",
+        "",
+        f"**Scaling efficiency: median of best 3 rounds = {med:.3f}** "
+        f"(gate: ≥ 0.8 → {'PASS' if med >= 0.8 else 'FAIL'}; the gate keys "
+        "on the median, not the best round — the max over noisy rounds is "
+        "an upward-biased estimator under CPU-steal drift); best round "
+        f"**{eff:.3f}** reported as supporting context; "
         f"best-round throughput {best['thr_4n']:,} sequences/sec end-to-end "
         "(parse → route to all five sinks → aggregates + summary); "
         f"best-round host-normalized efficiency {best['host_normalized']:.3f}.",
@@ -468,8 +493,12 @@ def _write_baseline_md(sf_dir, report, n, n4):
         "preserves the splits >> cores invariant a 100 TB scan has), parse "
         "via mapInArrow + RE2 kernels, parsed-stage materialization = "
         f"{'SERIALIZED eager localCheckpoint' if report.get('ckpt', 'lc') == 'lc' else 'parquet scratch (column-pruned consumers)'} "
-        f"(A/B-measured, see README), single concurrent pool for every "
-        "sink write + aggregate (no driver-sequenced phases).",
+        "with spark.rdd.compress=true (lz4 over the serialized blocks — "
+        "multi-× fewer bytes re-read by the seven consumers, the lever on "
+        "a bandwidth-capped host), slim-scope materialization for the "
+        "aggregate DAG (default; text nulled on non-grouped rows), source "
+        "dim from the column-pruned raw scan, single concurrent pool for "
+        "every sink write + aggregate (no driver-sequenced phases).",
     ]
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write("\n".join(lines) + "\n")

@@ -137,25 +137,58 @@ class ConfigSpec:
         return self
 
 
+# leading inline global flags, e.g. '(?i)boot' — valid in Go anywhere, but
+# Python 3.11+ rejects them MID-pattern, so wrapping must hoist them first
+_LEAD_FLAGS = re.compile(r"^\(\?([aiLmsux]+)\)")
+
+
+def _ends_anchored(p: str) -> bool:
+    """True iff p ends with an UNESCAPED '$' (an even run of backslashes
+    before it) — `foo\\$` is a literal dollar, not an anchor."""
+    if not p.endswith("$"):
+        return False
+    n = 0
+    i = len(p) - 2
+    while i >= 0 and p[i] == "\\":
+        n += 1
+        i -= 1
+    return n % 2 == 0
+
+
 def _anchor_event_pattern(name: str, rgx: str) -> str:
     """The reference resolves important-event MATCH STRINGS through a
     text→line-number map (details.go:158-161,177), so an UNANCHORED pattern's
     substring match misses the map and silently reports line 0. Upstream
     accepts such configs, so hard-rejecting them broke compat (ADVICE r2);
-    instead, auto-wrap to full-line form `(?m)^.*(?:…).*$` — the matched
+    instead, auto-wrap to full-line form `(?m…)^.*(?:…).*$` — the matched
     string becomes the containing line, which resolves to the real line
-    number instead of the reference's line-0 artifact. Deliberate fail-soft
-    deviation, warned so config authors see it."""
-    if rgx.startswith("(?m)^") and rgx.endswith("$"):
-        return rgx
+    number instead of the reference's line-0 artifact.
+
+    Leading inline global flags (`(?i)boot`, valid anywhere in Go) are
+    HOISTED into the wrapper's flag group — embedding them mid-pattern is a
+    compile error on Python 3.11+ (ADVICE r4).
+
+    Two documented deviations vs the reference, both warned: (a) reported
+    line number is the line's real ordinal, not the reference's line-0
+    artifact; (b) match MULTIPLICITY collapses to one per line — a line
+    containing k occurrences of the inner pattern counts once here, where
+    the reference counts k (all at line 0). Count parity holds whenever a
+    pattern occurs at most once per line."""
+    m = _LEAD_FLAGS.match(rgx)
+    flags, rest = (m.group(1), rgx[m.end():]) if m else ("", rgx)
+    if "m" in flags and rest.startswith("^") and _ends_anchored(rest):
+        return rgx  # already full-line anchored — nothing to do
     import warnings
 
     warnings.warn(
         f"ImportantEvents.{name!r} is not full-line anchored; auto-wrapping "
-        f"as '(?m)^.*(?:…).*$' (the reference would report line 0 for it)",
+        f"as '(?m)^.*(?:…).*$'. Deviations vs the reference: real line "
+        f"numbers instead of line 0, and one match per line (a line with "
+        f"k occurrences counts once, not k)",
         stacklevel=3,
     )
-    return f"(?m)^.*(?:{rgx}).*$"
+    wrap_flags = "m" + "".join(f for f in flags if f != "m")
+    return f"(?{wrap_flags})^.*(?:{rest}).*$"
 
 
 def _as_str_map(d: object, what: str) -> dict[str, str]:

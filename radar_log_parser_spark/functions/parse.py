@@ -44,24 +44,32 @@ from radar_log_parser_spark.functions.schema import (
 
 
 class CompiledConfig:
-    """All config patterns compiled once per executor process (Python re)."""
+    """All config patterns compiled once per executor process (Python re).
+
+    Compiled with re.ASCII: the reference's Go regexp (RE2) treats
+    \\d/\\w/\\b/\\s as ASCII-only, as do the Arrow RE2 kernels, Spark's Java
+    regex and DuckDB — Python is the lone Unicode-default engine in the
+    chain, and on non-ASCII log content its wider classes would silently
+    diverge from every other path (ADVICE r3). ASCII mode pins all five
+    engines to one semantic."""
 
     def __init__(self, cfg: ConfigSpec):
-        self.procs = sorted((n, re.compile(r)) for n, r in cfg.specific_process.items())
-        self.events = sorted((n, re.compile(r)) for n, r in cfg.important_events.items())
+        A = re.ASCII
+        self.procs = sorted((n, re.compile(r, A)) for n, r in cfg.specific_process.items())
+        self.events = sorted((n, re.compile(r, A)) for n, r in cfg.important_events.items())
         self.ngrp = sorted(
-            (n, re.compile(s.regex))
+            (n, re.compile(s.regex, A))
             for n, s in cfg.issues.items()
             if not s.grouped and s.regex
         )
         self.grp = sorted(
-            (n, re.compile(s.grouping))
+            (n, re.compile(s.grouping, A))
             for n, s in cfg.issues.items()
             if s.grouped and s.grouping
         )
         self.sev = {
             platform: [
-                (level, re.compile(severity_pattern(platform, level)))
+                (level, re.compile(severity_pattern(platform, level), A))
                 for level in LOG_LEVELS[platform]
             ]
             for platform in LOG_LEVELS

@@ -40,8 +40,13 @@ class ArrowCompiledConfig:
     def __init__(self, cfg: ConfigSpec):
         self.procs = sorted(cfg.specific_process.items())
         self.events = sorted(cfg.important_events.items())
+        # Python fallbacks compile with re.ASCII so the hit-row detail work
+        # agrees with the RE2 kernels that selected the hits: RE2 (and Go,
+        # Java, DuckDB) treat \d/\w/\b as ASCII-only; Python's Unicode
+        # default would extract MORE matches than RE2 flagged on non-ASCII
+        # content (ADVICE r3)
         self.ngrp = sorted(
-            (n, s.regex, re.compile(s.regex))
+            (n, s.regex, re.compile(s.regex, re.ASCII))
             for n, s in cfg.issues.items()
             if not s.grouped and s.regex
         )
@@ -49,7 +54,7 @@ class ArrowCompiledConfig:
         for n, s in sorted(cfg.issues.items()):
             if not s.grouped or not s.grouping:
                 continue
-            c = re.compile(s.grouping)
+            c = re.compile(s.grouping, re.ASCII)
             # pyarrow extract_regex needs every group named; Go SubexpNames
             # allows unnamed → those fall back to Python re on hit rows only
             all_named = len(c.groupindex) == c.groups

@@ -48,7 +48,10 @@ def _line_ord():
 def other_issue_aggs(other_routed: DataFrame) -> DataFrame:
     """A1 + A5 for non-grouped issues: Number counts ALL matches including
     duplicates (analyzeLog.go:271-278); LogLevel comes from the FIRST match
-    substring (go:285), Timestamp from the LAST (go:299)."""
+    substring (go:285), Timestamp from the LAST (go:299).
+
+    Standalone operator form (property-tested); the pipeline's summary path
+    computes the same quantities inside the fused summary_aggregate."""
     return other_routed.groupBy("source", "issue").agg(
         F.count("*").alias("number"),
         F.min_by("match", _ord()).alias("first_match"),
@@ -75,7 +78,8 @@ def grouped_counts(grouped_routed: DataFrame) -> DataFrame:
 def grouped_totals(grouped_routed: DataFrame) -> DataFrame:
     """A3 issue total = sum of tuple counts = matched-line count
     (analyzeLog.go:258-264), plus the LAST matching line for the grouped
-    Timestamp/LogLevel extracts (last_matches, analyzeLog.go:204-221)."""
+    Timestamp/LogLevel extracts (last_matches, analyzeLog.go:204-221).
+    Standalone form; the pipeline summary uses summary_aggregate."""
     return grouped_routed.groupBy("source", "issue").agg(
         F.count("*").alias("number"),
         F.max_by("text", _line_ord()).alias("last_line"),
@@ -105,6 +109,8 @@ def field_subjects(scope: DataFrame) -> DataFrame:
 
 def field_contents(cfg: ConfigSpec, scope: DataFrame) -> DataFrame:
     """A4/F5 per-issue field extraction → (source, issue, field, n, joined).
+    Standalone form; the pipeline summary computes the same cells inside
+    the fused summary_aggregate (same bucket scheme).
 
     SINGLE PASS over the scoped frame for EVERY (issue, field) pair: one
     plan per pair (the previous design) re-scanned the materialized scope
@@ -222,40 +228,184 @@ def field_contents(cfg: ConfigSpec, scope: DataFrame) -> DataFrame:
     )
 
 
+def _summary_pairs(cfg: ConfigSpec) -> list[tuple[str, str, str]]:
+    """(issue, field, pattern) triples in (issue asc, field asc) order —
+    the static field catalog both the aggregate and the assembly use."""
+    pairs: list[tuple[str, str, str]] = []
+    for iname in sorted(cfg.issues):
+        spec = cfg.issues[iname]
+        fields = dict(cfg.general.other_fields)
+        fields.update(spec.additional_fields)
+        for fname in sorted(fields):
+            pairs.append((iname, fname, fields[fname]))
+    return pairs
+
+
+def summary_subjects(scope_slim: DataFrame) -> DataFrame:
+    """field_subjects plus the flags/keys the fused summary aggregate needs:
+    grouped_row (which branch produced the row), is_match (grouped rows:
+    did the grouping pattern match — drives g_number/last_line), and the
+    line ordinal. Quirk Q10 preserved: grouped rows carry EVERY scoped
+    line's text (matching or not) as the field-scan subject; non-grouped
+    rows carry one subject per match substring."""
+    g = scope_slim.filter(F.col("grouped")).select(
+        "source", "issue", "proc_rank", "line_no",
+        F.lit(0).alias("match_pos"),
+        F.col("text").alias("subject"),
+        F.lit(True).alias("grouped_row"),
+        (F.size(F.coalesce(F.col("grp_arr"), F.array())) > 0).alias("is_match"),
+    )
+    ng = scope_slim.filter(~F.col("grouped")).select(
+        "source", "issue", "proc_rank", "line_no",
+        F.posexplode("match_arr").alias("match_pos", "subject"),
+        F.lit(False).alias("grouped_row"),
+        F.lit(True).alias("is_match"),
+    )
+    return g.unionByName(ng)
+
+
+def summary_aggregate(cfg: ConfigSpec, scope_slim: DataFrame) -> DataFrame:
+    """ONE two-level aggregation producing EVERYTHING the summary needs per
+    (source, issue): the non-grouped totals + first/last match (A1/A5), the
+    grouped totals + last matching line (A3), and every field's count +
+    ordered joined content (A4/F5) — in a SINGLE pass over the slim scope.
+
+    r3 ran four scans (field_subjects' two union legs + other_issue_aggs +
+    grouped_totals) over the materialized slim blocks; at 32M rows the
+    summary job was the fan-out straggler and scaled worst 4→16 cores
+    (memory-bandwidth-bound re-reads). Fusing them into one grouped
+    aggregation removes two full block scans and two shuffles.
+
+    first/last selections merge across the two levels by carrying the
+    packed scan-order key next to each partial min_by/max_by: the key is
+    unique per subject row within (source, issue), so lvl2's
+    min_by(partial_value, partial_key) reproduces the global selection.
+    """
+    pairs = _summary_pairs(cfg)
+    subj = summary_subjects(scope_slim)
+
+    ng_ord = F.when(~F.col("grouped_row"), _ord())
+    g_ord = F.when(F.col("grouped_row") & F.col("is_match"), _line_ord())
+    row_ord = (F.col("line_no") * F.lit(1 << 20) + F.col("match_pos")).alias("ord")
+    bucket = F.floor(F.col("line_no") / F.lit(65536)).alias("line_bucket")
+
+    per_row = subj.select(
+        "source", "issue", "proc_rank", "subject",
+        F.col("grouped_row"), F.col("is_match"),
+        ng_ord.alias("ng_ord"), g_ord.alias("g_ord"),
+        row_ord, bucket,
+        *[
+            F.when(
+                F.col("issue") == iname,
+                F.regexp_extract_all("subject", F.lit(pat), 0),
+            ).alias(f"h{k}")
+            for k, (iname, _f, pat) in enumerate(pairs)
+        ],
+    )
+
+    aggs1 = [
+        F.sum(F.when(~F.col("grouped_row"), 1).otherwise(0)).alias("o_num1"),
+        F.min("ng_ord").alias("o_ford1"),
+        F.min_by("subject", "ng_ord").alias("o_first1"),
+        F.max("ng_ord").alias("o_lord1"),
+        F.max_by("subject", "ng_ord").alias("o_last1"),
+        F.sum(
+            F.when(F.col("grouped_row") & F.col("is_match"), 1).otherwise(0)
+        ).alias("g_num1"),
+        F.max("g_ord").alias("g_lord1"),
+        F.max_by("subject", "g_ord").alias("g_last1"),
+    ]
+    for k in range(len(pairs)):
+        h = F.col(f"h{k}")
+        # coalesce the null rows (non-owning issues) to 0 explicitly: under
+        # ANSI (Spark 4 default) size(NULL) is NULL and sum skips it, but on
+        # a legacy-mode 3.x cluster size(NULL) = -1 would silently subtract
+        # one per non-owning row — don't depend on the ANSI default
+        aggs1.append(F.sum(F.coalesce(F.size(h), F.lit(0))).alias(f"n{k}"))
+        # collect_list skips nulls (non-owning / zero-hit rows), so only
+        # owning, matching rows enter the sort buffer; subjects pre-join to
+        # ONE string so the sorted structs are (bigint, string) —
+        # binary-comparable, codegen'd (see field_contents rationale)
+        aggs1.append(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.size(h) > 0,
+                                F.struct(
+                                    F.col("ord"),
+                                    F.array_join(h, "\n").alias("s"),
+                                ),
+                            )
+                        )
+                    ),
+                    lambda s: s["s"],
+                ),
+                "\n",
+            ).alias(f"j{k}")
+        )
+    lvl1 = per_row.groupBy("source", "issue", "proc_rank", "line_bucket").agg(*aggs1)
+
+    aggs2 = [
+        F.sum("o_num1").alias("o_number"),
+        F.min_by("o_first1", "o_ford1").alias("first_match"),
+        F.max_by("o_last1", "o_lord1").alias("last_match"),
+        F.sum("g_num1").alias("g_number"),
+        F.max_by("g_last1", "g_lord1").alias("last_line"),
+    ]
+    for k in range(len(pairs)):
+        aggs2.append(F.sum(F.col(f"n{k}")).alias(f"N{k}"))
+        aggs2.append(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col(f"n{k}") > 0,
+                                F.struct(
+                                    "proc_rank", "line_bucket",
+                                    F.col(f"j{k}").alias("jp"),
+                                ),
+                            )
+                        )
+                    ),
+                    lambda s: s["jp"],
+                ),
+                "\n",
+            ).alias(f"J{k}")
+        )
+    return lvl1.groupBy("source", "issue").agg(*aggs2)
+
+
 def summary_frame(
     spark: SparkSession,
     cfg: ConfigSpec,
     sources_df: DataFrame,
-    other_aggs_df: DataFrame,
-    grouped_totals_df: DataFrame,
-    fields_df: DataFrame | None,
+    combined_df: DataFrame,
 ) -> DataFrame:
     """Final summary sink (A8): one row per (source, issue) with the
     reference's report-table columns, ordered by priority desc then issue
     asc (sortIssue, analyzeLog.go:102-111 + quirk Q4 tiebreak).
 
-    FULLY DISTRIBUTED (r3): the previous implementation collected the
-    aggregate rows — including every field's newline-joined match content —
-    to the driver, regex-extracted in Python, re-serialized the result via
-    createDataFrame, and let the caller collect it AGAIN. Those joined
-    strings are unbounded in the input size, so the driver round-trips were
-    both the measured serial tail (30-60 s at 32M rows) and a driver-OOM
-    risk at 10^12 rows. Now the Timestamp/LogLevel extracts run as JVM
-    `regexp_extract` (the patterns are lint-guaranteed RE2-subset, on which
-    Java and Python `re` agree), the field map is `map_from_entries` over a
-    broadcast (issue, field) dimension, and the assembly is a chain of
-    small-key joins — the content never touches the driver unless the
-    caller collects the result. No size guard needed: nothing driver-side
-    scales with sources × issues anymore."""
-    issues_rows = []
-    for iname in sorted(cfg.issues):
-        spec = cfg.issues[iname]
-        fnames = sorted(set(cfg.general.other_fields) | set(spec.additional_fields))
-        issues_rows.append(
-            (iname, spec.grouped, int(cfg.priority.get(iname, 0)), fnames)
-        )
+    FULLY DISTRIBUTED (r3) and now SINGLE-JOIN (r4): `combined_df` (one
+    fused two-level aggregation, see summary_aggregate) left-joins the
+    static (source × issue) base once; the per-issue field MAP is a
+    config-static `map_from_entries` CASE over the combined row's own
+    columns — no per-field explode, no fmap re-aggregation, no stack
+    (r3 assembled the same result through three joins + a groupBy).
+    Timestamp/LogLevel extracts run as JVM `regexp_extract`; the config
+    lint pins every engine (Go/RE2, Java, Python-ASCII, DuckDB) to the
+    RE2-subset ASCII semantics, so the extracts agree with the Python
+    oracle on any content (ADVICE r3: \\d/\\w/\\b are ASCII everywhere
+    now). Content never touches the driver unless the caller collects."""
+    pairs = _summary_pairs(cfg)
+    issues_rows = [
+        (iname, cfg.issues[iname].grouped, int(cfg.priority.get(iname, 0)))
+        for iname in sorted(cfg.issues)
+    ]
     issues_dim = spark.createDataFrame(
-        issues_rows, "issue string, grouped boolean, priority int, fnames array<string>"
+        issues_rows, "issue string, grouped boolean, priority int"
     )
     base = sources_df.select("source").crossJoin(F.broadcast(issues_dim))
 
@@ -273,48 +423,39 @@ def summary_frame(
         # (m.lastindex check) — mirror that statically
         return F.regexp_extract(col, lvl, 1) if lvl_has_group else F.lit("")
 
-    # per-(source, issue) field map with "0 :  " defaults for zero-hit
-    # fields ("<n> :  <joined>", two spaces — analyzeLog.go:311)
-    fb = base.select("source", "issue", F.explode("fnames").alias("field"))
-    if fields_df is not None:
-        cell = F.concat(
-            F.col("n").cast("string"), F.lit(" :  "), F.col("joined")
-        ).alias("cell")
-        fj = fb.join(
-            fields_df.select("source", "issue", "field", cell),
-            ["source", "issue", "field"],
-            "left",
-        )
-    else:
-        fj = fb.withColumn("cell", F.lit(None).cast("string"))
-    fmap = fj.groupBy("source", "issue").agg(
-        F.map_from_entries(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(
-                        "field", F.coalesce("cell", F.lit("0 :  ")).alias("cell")
-                    )
-                )
-            )
-        ).alias("fmap")
-    )
+    j = base.join(combined_df, ["source", "issue"], "left")
 
-    oa = other_aggs_df.select(
-        "source", "issue", F.col("number").alias("o_number"),
-        "first_match", "last_match",
-    )
-    gt = grouped_totals_df.select(
-        "source", "issue", F.col("number").alias("g_number"), "last_line"
-    )
-    j = (
-        base.join(oa, ["source", "issue"], "left")
-        .join(gt, ["source", "issue"], "left")
-        .join(fmap, ["source", "issue"], "left")
-    )
-    has_other = F.col("o_number").isNotNull()
     empty_map = F.map_from_arrays(
         F.array().cast("array<string>"), F.array().cast("array<string>")
     )
+
+    # per-issue field map, built from the combined row's own N_k/J_k columns
+    # ("<n> :  <joined>" cells with "0 :  " defaults — analyzeLog.go:311);
+    # a missing combined row (issue never scoped) leaves N_k null → every
+    # cell defaults, matching the reference's unconditional grouped-field
+    # scan over empty content
+    def cell(k: int):
+        return F.when(
+            F.coalesce(F.col(f"N{k}"), F.lit(0)) > 0,
+            F.concat(F.col(f"N{k}").cast("string"), F.lit(" :  "), F.col(f"J{k}")),
+        ).otherwise(F.lit("0 :  "))
+
+    fields_expr = empty_map
+    for iname in sorted(cfg.issues):
+        ks = [k for k, (inm, _f, _p) in enumerate(pairs) if inm == iname]
+        if not ks:
+            continue
+        m = F.map_from_entries(
+            F.array(*[
+                F.struct(
+                    F.lit(pairs[k][1]).alias("key"), cell(k).alias("value")
+                )
+                for k in ks
+            ])
+        )
+        fields_expr = F.when(F.col("issue") == iname, m).otherwise(fields_expr)
+
+    has_other = F.coalesce(F.col("o_number"), F.lit(0)) > 0
     number = (
         F.when(F.col("grouped"), F.coalesce("g_number", F.lit(0)))
         .otherwise(F.coalesce("o_number", F.lit(0)))
@@ -334,8 +475,8 @@ def summary_frame(
     # grouped fields exist even with zero matches (analyzeLog.go:222-231
     # runs unconditionally); non-grouped fields only when matches exist
     # (analyzeLog.go:280-303)
-    fields_col = F.when(F.col("grouped"), F.coalesce("fmap", empty_map)).otherwise(
-        F.when(has_other, F.coalesce("fmap", empty_map)).otherwise(empty_map)
+    fields_col = F.when(F.col("grouped"), fields_expr).otherwise(
+        F.when(has_other, fields_expr).otherwise(empty_map)
     )
     return j.select(
         "source",

@@ -202,38 +202,54 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 MD5_PERMS = 16
 MD5_BANDS = 4  # 4 bands × 4 rows
 
+# Universal-hash permutation family over ONE base hash: perm_i(H) =
+# (A_i·H + B_i) mod P. P = 2^31-1 (Mersenne prime); H is 28 bits (7 hex
+# digits of md5), so A_i·H < 2^59 — plain BIGINT arithmetic in both Spark
+# and DuckDB, no 128-bit intermediate. Constants from a fixed-seed PRNG so
+# both engines embed identical literals.
+MD5_P = (1 << 31) - 1
+import random as _random
+
+_rng = _random.Random(0x5EED_CAFE)
+MD5_LINEAR = [
+    (_rng.randrange(1, MD5_P), _rng.randrange(MD5_P)) for _ in range(MD5_PERMS)
+]
+del _rng
+
+
+def md5_base_hash(col):
+    """First 7 hex digits of md5 as a 28-bit BIGINT — computable
+    bit-identically in DuckDB (`('0x'||substr(md5(x),1,7))::BIGINT`)."""
+    return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("long")
+
 
 def q_dedup_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME band-bucket LSH algorithm as q_dedup_minhash_lsh, but with a
-    hash family BOTH engines can compute bit-identically — md5 (first 15 hex
-    digits as a 60-bit integer), seeded per permutation — so the scale path
-    itself gets a full DuckDB oracle row, not just a property test against
-    the exact baseline (VERDICT r2 stretch item: murmur3/xxhash64 have no
-    DuckDB equivalent; md5 does).
+    hash family BOTH engines can compute bit-identically, so the scale-path
+    algorithm gets a full DuckDB oracle row, not just a property test
+    against the exact baseline (murmur3/xxhash64 have no DuckDB equivalent).
 
+    ONE md5 per shingle (r3 computed 16 — the measured 2.5× cost over the
+    murmur3 path); the 16 permutations derive from that single 28-bit base
+    hash as (A_i·H + B_i) mod P integer arithmetic, identical in DuckDB.
     Plan shape is identical to the production path: explode shingles → 16
     min-aggregates (map-side partial agg) → 4-row band arrays → band-bucket
     equi-join on the band's row array → verify colliding candidates with
-    exact Jaccard. Shuffle O(n·bands); never all-pairs. md5 is ~3× slower
-    per hash than murmur3, which is why the production path keeps F.hash —
-    this variant exists for cross-engine verifiability."""
+    exact Jaccard. Shuffle O(n·bands); never all-pairs."""
     docs = _docs(spark, sf_dir).filter(F.size(F.split("text", " ")) >= 3)
     sh = fan_out(spark, docs).select(
         F.col("doc_id").cast("long").alias("doc_id"), shingles_col().alias("sh")
     )
-    ex = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    ex = sh.select("doc_id", F.explode("sh").alias("shingle")).select(
+        "doc_id", md5_base_hash(F.col("shingle")).alias("h")
+    )
 
-    def h(i: int):
-        return F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))), 1, 15
-            ),
-            16,
-            10,
-        ).cast("long")
+    def perm(i: int):
+        a, b = MD5_LINEAR[i]
+        return (F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MD5_P)
 
     wide = ex.groupBy("doc_id").agg(
-        *[F.min(h(i)).alias(f"h{i}") for i in range(MD5_PERMS)]
+        *[F.min(perm(i)).alias(f"h{i}") for i in range(MD5_PERMS)]
     )
     rows_per_band = MD5_PERMS // MD5_BANDS
     bands = wide.select(
@@ -271,16 +287,22 @@ def q_dedup_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("inter") * JACCARD_DEN >= JACCARD_NUM * F.col("uni"))
 
 
+_MD5_AB_VALUES = ", ".join(
+    f"({i}, {a}, {b})" for i, (a, b) in enumerate(MD5_LINEAR)
+)
+
 Q_DEDUP_MINHASH_LSH_MD5_SQL = f"""
 WITH docs AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id, {_SHINGLE_SQL} AS sh
   FROM documents WHERE len(string_split(text,' ')) >= 3
 ),
-ex AS (SELECT doc_id, unnest(sh) AS shingle FROM docs),
+ex AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS h
+  FROM (SELECT doc_id, unnest(sh) AS shingle FROM docs)
+),
 hs AS (
-  SELECT doc_id, i,
-         min(('0x' || substr(md5(i::VARCHAR || ':' || shingle), 1, 15))::BIGINT) AS h
-  FROM ex CROSS JOIN range({MD5_PERMS}) t(i)
+  SELECT doc_id, i, min((ab.a * ex.h + ab.b) % {MD5_P}) AS h
+  FROM ex CROSS JOIN (VALUES {_MD5_AB_VALUES}) ab(i, a, b)
   GROUP BY doc_id, i
 ),
 bands AS (
@@ -303,20 +325,28 @@ WHERE len(list_intersect(da.sh, db.sh)) * {JACCARD_DEN}
 
 
 # --- SimHash -----------------------------------------------------------------
+SIMHASH_BITS = 60  # 15 hex digits of md5 — exactly representable cross-engine
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """63-bit SimHash fingerprints (doc_id, simhash), computed ENTIRELY
-    JVM-side: explode distinct 3-word shingles → `xxhash64` per shingle →
+    """60-bit SimHash fingerprints (doc_id, simhash), computed ENTIRELY
+    JVM-side: explode distinct 3-word shingles → one md5 per shingle (first
+    15 hex digits as a 60-bit BIGINT — the same cross-engine family as the
+    md5 LSH, so DuckDB reproduces the fingerprints bit-identically and this
+    query has a FULL oracle row, r3's last `no_oracle` dedup entry) →
     broadcast-expand to one (doc_id, bit, ±1 vote) row per bit → ONE narrow
     `groupBy(doc_id, bit).sum` (map-side partial agg) → compact reassembly
-    `sum(1<<bit where vote>0)` per doc. No Python anywhere.
+    `sum(1<<bit where vote>0)` per doc. No Python anywhere. A pure-Spark
+    deployment can swap `xxhash64` back in (one line) — the plan shape and
+    the locality property are hash-family-independent.
 
-    Why narrow rows instead of 63 sum-aggregates in one groupBy: the wide
-    form's generated aggregate (63 when-sums + a 63-term reassembly) blows
+    Why narrow rows instead of 60 sum-aggregates in one groupBy: the wide
+    form's generated aggregate (N when-sums + an N-term reassembly) blows
     past `spark.sql.codegen.hugeMethodLimit` and silently drops to
     INTERPRETED evaluation — measured 16× slower (BENCH_r02 14.8s vs 0.9s)
     on unchanged data. Two small codegen'd aggregates over (long,int,int)
     rows keep every stage inside whole-stage codegen; shuffle volume is
-    ≤ 63 narrow rows/doc after partial aggregation — skew-free and linear.
+    ≤ 60 narrow rows/doc after partial aggregation — skew-free and linear.
 
     Near-dup candidates are low-Hamming pairs; pytest verifies planted
     near-dups land within Hamming ≤ 12 while random pairs stay far."""
@@ -326,10 +356,15 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = fan_out(spark, docs.filter(F.size(F.split("text", " ")) >= 3)).select(
         "doc_id", F.explode(shingles_col()).alias("shingle")
     )
-    hb = sh.select("doc_id", F.xxhash64("shingle").alias("h"))
-    # 63-row broadcast expansion (BroadcastNestedLoopJoin, codegen'd) — a
-    # higher-order filter(sequence(0,62), …) would be interpreted per row
-    bits = spark.range(63).select(F.col("id").cast("int").alias("bit"))
+    hb = sh.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    # 60-row broadcast expansion (BroadcastNestedLoopJoin, codegen'd) — a
+    # higher-order filter(sequence(0,59), …) would be interpreted per row
+    bits = spark.range(SIMHASH_BITS).select(F.col("id").cast("int").alias("bit"))
     votes = hb.crossJoin(F.broadcast(bits)).select(
         "doc_id",
         "bit",
@@ -349,6 +384,32 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id").join(sim, "doc_id", "left").select(
         "doc_id", F.coalesce("simhash", F.lit(0).cast("long")).alias("simhash")
     )
+
+
+Q_DEDUP_SIMHASH_SQL = f"""
+WITH docs AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, {_SHINGLE_SQL} AS sh
+  FROM documents WHERE len(string_split(text,' ')) >= 3
+),
+hb AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
+  FROM (SELECT doc_id, unnest(sh) AS shingle FROM docs)
+),
+perbit AS (
+  SELECT doc_id, bit,
+         sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM hb CROSS JOIN range({SIMHASH_BITS}) t(bit)
+  GROUP BY doc_id, bit
+),
+sim AS (
+  SELECT doc_id,
+         sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0::BIGINT END) AS s
+  FROM perbit GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(COALESCE(sim.s, 0) AS BIGINT) AS simhash
+FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents) d
+LEFT JOIN sim USING (doc_id)
+"""
 
 
 # --- embedding-cosine near-dup ----------------------------------------------
@@ -420,8 +481,8 @@ SPECS: list[QuerySpec] = [
     QuerySpec("dedup_minhash_lsh_md5", "MinHash+LSH with cross-engine md5 "
               "hash family (full oracle)", q_dedup_minhash_lsh_md5,
               Q_DEDUP_MINHASH_LSH_MD5_SQL),
-    QuerySpec("dedup_simhash", "SimHash fingerprints (rows-only)",
-              q_dedup_simhash, None),
+    QuerySpec("dedup_simhash", "SimHash fingerprints (cross-engine md5 "
+              "family, full oracle)", q_dedup_simhash, Q_DEDUP_SIMHASH_SQL),
     QuerySpec("dedup_embedding_cosine", "embedding cosine near-dup pairs",
               q_dedup_embedding_cosine, Q_DEDUP_EMBEDDING_COSINE_SQL),
 ]

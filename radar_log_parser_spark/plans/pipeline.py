@@ -389,21 +389,25 @@ class Pipeline:
             parents=["parsed"],
             bucket_by="doc_id",
         )
-        # Aggregation reads a SLIM scope (no token arrays): every aggregate
-        # keys on (source, issue, proc_rank, line_no, match/text) only.
-        # Checkpoint mode gets this for free (parquet column pruning). In
-        # bench mode the slim scope stays LAZY: re-deriving it from the
-        # materialized parsed blocks is a narrow explode + two broadcast
-        # joins (~5s/consumer at 8M rows) — materializing it cost 30-45s
-        # serial wall and doubled block-store pressure, the measured reason
-        # wall@4N exceeded wall@N in round 1.
-        scope_slim = scope.drop("tokens", "n_tok")
-        if self.ckpt is None and os.environ.get("RLPS_BENCH_SLIM") == "lc":
-            # optional second materialization (A/B-gated): the summary DAG's
-            # three aggregate subtrees each re-derive the slim scope from
-            # the parsed blocks (3 full decodes = 3x memory traffic); on a
-            # bandwidth-capped host, serializing the slim scope once and
-            # reading it three times trades one build pass for two decodes
+        # Aggregation reads a SLIM scope: every aggregate keys on
+        # (source, issue, proc_rank, line_no) plus the match arrays, and
+        # needs `text` only on GROUPED rows (grouped_totals' last-line
+        # extract + field_subjects' grouped branch) — so the projection
+        # drops tokens/n_tok/doc_id/process entirely and nulls text on
+        # non-grouped rows. Checkpoint mode gets pruning from parquet; in
+        # bench mode the slim frame is materialized (serialized eager
+        # localCheckpoint) by DEFAULT: the summary DAG's three aggregate
+        # subtrees otherwise re-derive it from the fat parsed blocks —
+        # 3 full-row decodes of memory traffic, the resource the 4N leg is
+        # ceiling-bound on (A/B: summary job 186→85 s at 16 cores,
+        # BENCH/BASELINE.md). RLPS_BENCH_SLIM=off restores the lazy form
+        # for A/B.
+        scope_slim = scope.select(
+            "source", "issue", "proc_rank", "grouped", "line_no",
+            F.when(F.col("grouped"), F.col("text")).alias("text"),
+            "match_arr", "grp_arr",
+        )
+        if self.ckpt is None and os.environ.get("RLPS_BENCH_SLIM", "lc") == "lc":
             from pyspark import StorageLevel
 
             scope_slim = scope_slim.localCheckpoint(
@@ -453,21 +457,26 @@ class Pipeline:
             ),
         }
 
-        # Distributed summary (A8): one lazy DataFrame whose DAG contains
-        # every summary aggregate (other_aggs, grouped_totals, fields,
-        # source dim) joined and formatted ENTIRELY JVM-side. The previous
-        # design collected those aggregates — including the unbounded
-        # joined-field strings — to the driver and re-assembled in Python:
-        # a measured 30-60 s serial tail at 32M rows and a driver-OOM cliff
-        # at 10^12. Sources come from the MATERIALIZED parse stage, not a
-        # second decode of the raw input.
+        # Distributed summary (A8): one lazy DataFrame whose DAG is a SINGLE
+        # fused two-level aggregation over the slim scope (summary
+        # aggregate: non-grouped totals + first/last, grouped totals + last
+        # line, and every field's ordered content in one pass — r3 ran four
+        # slim scans and three joins here; the summary job was the fan-out
+        # straggler and its worst scaler). Assembly is one left join against
+        # the static (source × issue) base, formatted ENTIRELY JVM-side —
+        # nothing driver-side scales with the corpus (the r2 driver
+        # assembly was a 30-60 s serial tail and an OOM cliff at 10^12).
+        # The source dimension comes from the RAW parquet scan, not the
+        # materialized parsed blocks: row-format checkpoint blocks have no
+        # column pruning, so `parsed.select("source").distinct()` re-read
+        # every token array and text string just to list a handful of
+        # sources; the parquet scan reads the dictionary-encoded source
+        # column alone (parse preserves source 1:1, so the sets are equal).
         summary = agg.summary_frame(
             spark,
             cfg,
-            parsed.select("source").distinct(),
-            agg.other_issue_aggs(routing.other_matches(scope_slim)),
-            agg.grouped_totals(routing.grouped_matches(scope_slim)),
-            agg.field_contents(cfg, scope_slim),
+            raw.select("source").distinct(),
+            agg.summary_aggregate(cfg, scope_slim),
         )
         if self.ckpt is not None:
             fp = _fingerprint(self._root_fp, "summary", "other_routed", "grouped_routed")

@@ -29,13 +29,17 @@ from radar_log_parser_spark.config import (
 
 
 def go_findall(pattern: str, content: str) -> list[str]:
-    """Go regexp.FindAllString(content, -1) — full match strings."""
-    return [m.group(0) for m in re.finditer(pattern, content)]
+    """Go regexp.FindAllString(content, -1) — full match strings.
+
+    Compiled re.ASCII, like every pattern in this oracle: Go's regexp (RE2)
+    treats \\d/\\w/\\b as ASCII-only, so a faithful Python oracle must not
+    use Python's wider Unicode classes (ADVICE r3)."""
+    return [m.group(0) for m in re.finditer(pattern, content, re.ASCII)]
 
 
 def _line_matches(pattern: str, lines: list[str]) -> list[int]:
     """Line ordinals whose line matches `pattern` (per-line semantics)."""
-    rgx = re.compile(pattern)
+    rgx = re.compile(pattern, re.ASCII)
     return [i for i, line in enumerate(lines) if rgx.search(line)]
 
 
@@ -83,8 +87,8 @@ def analyse(lines: list[str], cfg: ConfigSpec, platform: str) -> dict[str, Any]:
     grouped_issues: dict[str, Any] = {}
     header_extras: set[str] = set(cfg.general.other_fields)
 
-    ts_rgx = re.compile(cfg.general.timestamp) if cfg.general.timestamp else None
-    lvl_rgx = re.compile(cfg.general.log_level) if cfg.general.log_level else None
+    ts_rgx = re.compile(cfg.general.timestamp, re.ASCII) if cfg.general.timestamp else None
+    lvl_rgx = re.compile(cfg.general.log_level, re.ASCII) if cfg.general.log_level else None
 
     for iname in sorted(cfg.issues):
         issue = cfg.issues[iname]
@@ -100,7 +104,7 @@ def analyse(lines: list[str], cfg: ConfigSpec, platform: str) -> dict[str, Any]:
         if issue.grouped:
             # ---- F4 grouped match (groupIssueDetails + fillGroupDetails,
             # analyzeLog.go:196-265)
-            grgx = re.compile(issue.grouping)
+            grgx = re.compile(issue.grouping, re.ASCII)
             names = issue.group_names()
             group_content: dict[str, list[list[str]]] = {}
             group_count: dict[str, list[int]] = {}
@@ -156,7 +160,7 @@ def analyse(lines: list[str], cfg: ConfigSpec, platform: str) -> dict[str, Any]:
         else:
             # ---- F3 non-grouped match (nongroupIssueDetails,
             # analyzeLog.go:266-304). Matches per scoped row, left-to-right.
-            irgx = re.compile(issue.regex)
+            irgx = re.compile(issue.regex, re.ASCII)
             rows: list[tuple[str, int, str]] = []  # (proc, line_no, match)
             for proc, ln in scope:
                 for m in irgx.finditer(lines[ln]):
@@ -208,7 +212,7 @@ def analyse(lines: list[str], cfg: ConfigSpec, platform: str) -> dict[str, Any]:
     severity: dict[str, list[list[int]]] = {}
     for level in LOG_LEVELS.get(platform, []):
         pat = severity_pattern(platform, level)
-        rgx = re.compile(pat)
+        rgx = re.compile(pat, re.ASCII)
         per_line = []
         for i, line in enumerate(lines):
             n = len(rgx.findall(line))

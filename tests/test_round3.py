@@ -50,11 +50,14 @@ def test_summary_is_distributed(spark):
     """The summary sink must be a distributed plan: no collect of the
     unbounded joined-field strings to the driver (the r2 driver-side
     assembly was both a serial tail and an OOM cliff at 10^12 rows).
-    summary_frame takes DataFrames and returns a lazy DataFrame whose plan
-    carries the aggregates — nothing driver-side scales with the corpus."""
-    from pyspark.sql import functions as F
-
-    from radar_log_parser_spark.operators.aggregates import summary_frame
+    summary_aggregate + summary_frame take DataFrames and return a lazy
+    DataFrame whose plan carries the aggregates — nothing driver-side
+    scales with the corpus (r4: the aggregates fused into ONE two-level
+    pass over the slim scope)."""
+    from radar_log_parser_spark.operators.aggregates import (
+        summary_aggregate,
+        summary_frame,
+    )
 
     cfg = parse_config(
         {
@@ -67,18 +70,17 @@ def test_summary_is_distributed(spark):
         }
     )
     sources = spark.createDataFrame([("s1",), ("s2",)], "source string")
-    oa = spark.createDataFrame(
-        [("s1", "I1", 3, "boom level=E", "boom 12:34")],
-        "source string, issue string, number long, first_match string, last_match string",
+    # slim-scope rows: matches in scan order are "boom level=E xa" (line 10),
+    # then "boom xb", "boom 12:34" (line 11, left-to-right)
+    slim = spark.createDataFrame(
+        [
+            ("s1", "I1", 0, False, 10, None, ["boom level=E xa"], None),
+            ("s1", "I1", 0, False, 11, None, ["boom xb", "boom 12:34"], None),
+        ],
+        "source string, issue string, proc_rank int, grouped boolean, "
+        "line_no long, text string, match_arr array<string>, grp_arr array<string>",
     )
-    gt = spark.createDataFrame(
-        [], "source string, issue string, number long, last_line string"
-    )
-    fl = spark.createDataFrame(
-        [("s1", "I1", "Fld", 2, "xa\nxb")],
-        "source string, issue string, field string, n long, joined string",
-    )
-    df = summary_frame(spark, cfg, sources, oa, gt, fl)
+    df = summary_frame(spark, cfg, sources, summary_aggregate(cfg, slim))
     rows = {(r["source"], r["issue"]): r for r in df.collect()}
     r1 = rows[("s1", "I1")]
     assert r1["number"] == 3

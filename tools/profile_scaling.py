@@ -111,9 +111,7 @@ def main(cpus: int, n_rows: int, mode: str) -> None:
     with phase("summary"):
         summary = agg.summary_frame(
             spark, cfg, parsed.select("source").distinct(),
-            agg.other_issue_aggs(routing.other_matches(scope_slim)),
-            agg.grouped_totals(routing.grouped_matches(scope_slim)),
-            agg.field_contents(cfg, scope_slim),
+            agg.summary_aggregate(cfg, scope_slim),
         )
         summary.write.format("noop").mode("overwrite").save()
 
