@@ -35,7 +35,7 @@ HEADLINERS = [
     "field_content", "severity_enrich", "important_events", "line_range",
     "context_segments", "window_rollup", "priority_summary",
     "dedup_exact", "dedup_minhash_lsh", "dedup_minhash_lsh_md5", "dedup_simhash",
-    "ann_topk_cosine", "ann_ivf_topk",
+    "dedup_embedding_lsh", "ann_topk_cosine", "ann_ivf_topk",
     "lang_id", "quality_score", "token_count", "doc_fingerprint", "media_meta",
 ]
 
@@ -376,8 +376,18 @@ def run_scaling(
     for i in range(rounds):
         host_ratio = _calibrate_host(n, n4)  # host CPU ceiling, THIS round
         host_mem = _calibrate_host_mem(n, n4)  # host DRAM ceiling
-        rn = one(n)
-        r4 = one(n4)
+        try:
+            rn = one(n)
+            r4 = one(n4)
+        except subprocess.CalledProcessError as e:
+            # a leg died (transient JVM/env failure under heavy steal) —
+            # log it and DROP the round rather than killing the campaign;
+            # a partial round must never contribute an efficiency number
+            print(json.dumps({
+                "round": i, "leg_failed": True,
+                "stderr_tail": (e.stderr or "")[-2000:],
+            }), file=sys.stderr)
+            continue
         eff = (r4["pipeline_rows_per_sec"] / rn["pipeline_rows_per_sec"]) / (n4 / n)
         pairs.append({
             "thr_n": rn["pipeline_rows_per_sec"],

@@ -471,6 +471,149 @@ WHERE round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
 """
 
 
+# --- embedding near-dup, random-hyperplane LSH (the scale path) -------------
+EMB_DIM = 64
+EMB_LSH_BANDS = 8
+EMB_LSH_BITS = 4  # per band → 32 hyperplanes total
+
+# Deterministic ±1 hyperplanes from a fixed-seed PRNG: both engines embed
+# the SAME literal arrays, so the signature (and therefore the output) is
+# cross-engine reproducible. Sign parity across engines relies on the dot
+# products being left-fold sums in identical order (the same assumption
+# every cosine oracle here makes); a sign flip would need |dot| at the
+# double-rounding scale (~1e-16), astronomically unlikely for real vectors.
+_rng_p = _random.Random(0xA55ED1CE)
+EMB_PLANES = [
+    [_rng_p.choice((-1.0, 1.0)) for _ in range(EMB_DIM)]
+    for _ in range(EMB_LSH_BANDS * EMB_LSH_BITS)
+]
+del _rng_p
+
+
+def _plane_dot(col, plane: list[float]):
+    return F.aggregate(
+        F.zip_with(
+            col,
+            F.array(*[F.lit(v) for v in plane]),
+            lambda x, y: x.cast("double") * y,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane (SimHash-for-vectors) LSH near-dup pairs — the
+    SCALE path for q_dedup_embedding_cosine's O(n²) exact baseline: each
+    vector gets EMB_LSH_BANDS 4-bit sign signatures (one per band of 4
+    hyperplanes), candidates come from an equi-join on (band, key) —
+    shuffle O(n·bands), never all-pairs — and only colliding candidates
+    are verified with the exact cosine. Recall < 1 by design (pairs whose
+    signatures collide in no band are never scored): at the cos=0.45
+    threshold the per-bit collision prob is 1-arccos(0.45)/pi ~= 0.649, so
+    theoretical recall floor = 1-(1-0.649^4)^8 ~= 0.79 (measured: 1.0 at
+    sf0.001, 0.57 at sf0.01 — borderline pairs dominate small corpora);
+    more bands buy recall linearly in shuffle cost. Precision = 1 (every
+    emitted pair is exact-verified). pytest measures recall against the
+    exact baseline; the DuckDB oracle runs the SAME deterministic planes,
+    so the driver check is a full value match."""
+    emb = fan_out(
+        spark, spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        "embedding",
+        _norm_col(F.col("embedding")).alias("nrm"),
+    )
+    keys = [
+        sum(
+            (
+                F.when(
+                    _plane_dot(
+                        F.col("embedding"), EMB_PLANES[t * EMB_LSH_BITS + b]
+                    )
+                    >= 0,
+                    F.lit(1 << b),
+                ).otherwise(F.lit(0))
+                for b in range(EMB_LSH_BITS)
+            ),
+            start=F.lit(0),
+        )
+        for t in range(EMB_LSH_BANDS)
+    ]
+    entries = emb.select(
+        "vec_id", "embedding", "nrm",
+        F.posexplode(F.array(*keys)).alias("band", "key"),
+    )
+    a = entries.alias("a")
+    b = entries.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("a_id"),
+            F.col("a.embedding").alias("a_emb"),
+            F.col("a.nrm").alias("a_nrm"),
+            F.col("b.vec_id").alias("b_id"),
+            F.col("b.embedding").alias("b_emb"),
+            F.col("b.nrm").alias("b_nrm"),
+        )
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    cos = _dot(F.col("a_emb"), F.col("b_emb")) / (F.col("a_nrm") * F.col("b_nrm"))
+    return cand.select(
+        "a_id", "b_id", F.round(cos, 6).alias("cos")
+    ).filter(F.col("cos") >= COSINE_THRESHOLD)
+
+
+def _emb_lsh_sql() -> str:
+    def dot_sql(plane: list[float]) -> str:
+        lits = "[" + ", ".join(str(v) for v in plane) + "]"
+        return (
+            f"list_sum(list_transform(list_zip(embedding, {lits}), "
+            "p -> CAST(p[1] AS DOUBLE) * p[2]))"
+        )
+
+    def key_sql(t: int) -> str:
+        bits = [
+            f"(CASE WHEN {dot_sql(EMB_PLANES[t * EMB_LSH_BITS + b])} >= 0 "
+            f"THEN {1 << b} ELSE 0 END)"
+            for b in range(EMB_LSH_BITS)
+        ]
+        return " + ".join(bits)
+
+    bands = "\nUNION ALL\n".join(
+        f"SELECT vec_id, embedding, nrm, {t} AS band, {key_sql(t)} AS key FROM emb"
+        for t in range(EMB_LSH_BANDS)
+    )
+    return f"""
+WITH emb AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+),
+entries AS ({bands}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM entries a JOIN entries b
+    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+)
+SELECT a_id, b_id,
+       round(list_sum(list_transform(list_zip(ea.embedding, eb.embedding),
+             p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE))) / (ea.nrm*eb.nrm), 6) AS cos
+FROM cand JOIN emb ea ON cand.a_id = ea.vec_id
+          JOIN emb eb ON cand.b_id = eb.vec_id
+WHERE round(list_sum(list_transform(list_zip(ea.embedding, eb.embedding),
+      p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE))) / (ea.nrm*eb.nrm), 6) >= {COSINE_THRESHOLD}
+"""
+
+
+Q_DEDUP_EMBEDDING_LSH_SQL = _emb_lsh_sql()
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("dedup_exact", "exact dedup via hash-groupBy",
               q_dedup_exact, Q_DEDUP_EXACT_SQL),
@@ -485,4 +628,7 @@ SPECS: list[QuerySpec] = [
               "family, full oracle)", q_dedup_simhash, Q_DEDUP_SIMHASH_SQL),
     QuerySpec("dedup_embedding_cosine", "embedding cosine near-dup pairs",
               q_dedup_embedding_cosine, Q_DEDUP_EMBEDDING_COSINE_SQL),
+    QuerySpec("dedup_embedding_lsh", "random-hyperplane LSH near-dup scale "
+              "path (deterministic planes, full oracle)",
+              q_dedup_embedding_lsh, Q_DEDUP_EMBEDDING_LSH_SQL),
 ]

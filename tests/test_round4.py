@@ -107,6 +107,28 @@ def test_oracle_ascii_parity():
     assert go_findall(r"pid=\d+", "x pid=77 y") == ["pid=77"]
 
 
+# --- embedding LSH scale path: precision 1 by construction; measure recall
+def test_embedding_lsh_recall(spark):
+    """Random-hyperplane LSH pairs must be a SUBSET of the exact cosine
+    pairs (every emitted pair is exact-verified) with usable recall on the
+    fixture corpus. The DuckDB oracle runs the identical deterministic
+    planes, so the driver check is a full value match; this test pins the
+    quality claim against the exact baseline."""
+    from radar_log_parser_spark.operators import dedup
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        (r["a_id"], r["b_id"]) for r in dedup.q_dedup_embedding_cosine(spark, sf).collect()
+    }
+    lsh = {
+        (r["a_id"], r["b_id"]) for r in dedup.q_dedup_embedding_lsh(spark, sf).collect()
+    }
+    assert lsh <= exact  # precision 1: only exact-verified pairs
+    assert exact  # fixture plants near-dup pairs
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.5, f"recall {recall:.2f} over {len(exact)} exact pairs"
+
+
 # --- directive r3-#5: no per-row Python left anywhere in sources/
 def test_no_rdd_in_sources():
     src_dir = os.path.join(
