@@ -237,8 +237,20 @@ def q_dedup_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join on the band's row array → verify colliding candidates with
     exact Jaccard. Shuffle O(n·bands); never all-pairs."""
     docs = _docs(spark, sf_dir).filter(F.size(F.split("text", " ")) >= 3)
-    sh = fan_out(spark, docs).select(
-        F.col("doc_id").cast("long").alias("doc_id"), shingles_col().alias("sh")
+    # same serialized eager materialization as the murmur3 production path:
+    # the shingle frame feeds THREE subtrees (signatures, verify-a,
+    # verify-b) and its higher-order shingling is interpreted — lazy, it is
+    # recomputed per subtree (measured: the dominant cost AND a 5-20×
+    # run-to-run variance source under CPU steal)
+    from pyspark import StorageLevel
+
+    sh = (
+        fan_out(spark, docs)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            shingles_col().alias("sh"),
+        )
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
     ex = sh.select("doc_id", F.explode("sh").alias("shingle")).select(
         "doc_id", md5_base_hash(F.col("shingle")).alias("h")
