@@ -34,10 +34,39 @@ HEADLINERS = [
     "specific_process", "nongrouped_count", "grouped_tuples", "first_last",
     "field_content", "severity_enrich", "important_events", "line_range",
     "context_segments", "window_rollup", "priority_summary",
-    "dedup_exact", "dedup_minhash_lsh", "dedup_minhash_lsh_md5", "dedup_simhash",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_minhash_lsh_md5",
+    "dedup_simhash", "dedup_simhash_md5",
     "dedup_embedding_lsh", "ann_topk_cosine", "ann_ivf_topk",
     "lang_id", "quality_score", "token_count", "doc_fingerprint", "media_meta",
 ]
+
+
+HEADLINE_REPEATS = 3
+
+
+def _micro_calib() -> dict[str, float]:
+    """Fixed-work host probe (~0.5 s clean): wall seconds for (a) a pure-CPU
+    md5 burn over in-cache buffers, (b) a DRAM-bandwidth memcpy of 48 MB
+    (>> LLC) ×4. Deterministic work, variable wall — on a clean host both
+    values are near-constant run-to-run; CPU steal inflates them in direct
+    proportion, making stolen windows identifiable next to each query's
+    timings (VERDICT r4 #1)."""
+    import hashlib
+
+    import numpy as np
+
+    t0 = time.monotonic()
+    h = hashlib.md5()
+    for _ in range(150_000):
+        h.update(b"x" * 1000)
+    cpu_s = time.monotonic() - t0
+    a = np.empty(48 * 1024 * 1024, dtype=np.uint8)
+    a[:] = 7
+    t0 = time.monotonic()
+    for _ in range(4):
+        a = a.copy()
+    mem_s = time.monotonic() - t0
+    return {"cpu_s": round(cpu_s, 4), "mem_s": round(mem_s, 4)}
 
 
 def _sf_of(sf_dir: str) -> float:
@@ -215,15 +244,29 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
     parse_stage(warm, cfg, vocab).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
+    runs_all: dict[str, list[float]] = {}
+    calibs: dict[str, dict[str, float]] = {}
 
-    # --- headline operator queries at the sf dir (warm + timed) -----------
+    # --- headline operator queries at the sf dir ---------------------------
+    # warm once + time ≥3 with spread PER QUERY (VERDICT r4 #1: a single
+    # timed run on this VM can inflate 5-25× under CPU steal — min-of-3 is
+    # the same estimator the e2e leg uses). A fixed-work CPU + memcpy
+    # micro-calibration runs immediately before each query so steal windows
+    # are identifiable in the JSON (inflated calib wall == stolen window).
     queries = entry.queries()
     for name in HEADLINERS:
         fn = queries[name]
+        calibs[name] = _micro_calib()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
-        t0 = time.monotonic()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.monotonic() - t0, 3)
+        runs = []
+        for _ in range(HEADLINE_REPEATS):
+            t0 = time.monotonic()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(round(time.monotonic() - t0, 3))
+        timings[name] = min(runs)
+        spreads[name] = round(max(runs) - min(runs), 3)
+        runs_all[name] = runs
     spark.stop()
 
     # --- north-rule metric: end-to-end parse→route→aggregate, measured in
@@ -244,6 +287,15 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # evidence keys (VERDICT r4 #1): per-query min-of-3 estimator
+        # detail — all raw runs, spread = max-min, and the fixed-work
+        # CPU/memcpy calibration wall measured immediately before each
+        # query (a clean host holds these near-constant; an inflated value
+        # marks a CPU-steal window contaminating that query's runs)
+        "queries_runs": runs_all,
+        "queries_spread": spreads,
+        "queries_calib": calibs,
+        "headline_repeats": HEADLINE_REPEATS,
         "sf": sf,
         "cpus": cpus,
         **pipe,

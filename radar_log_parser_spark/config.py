@@ -26,6 +26,10 @@ import yaml
 # Arrow batches) and SQL engines (Spark/Java regex, DuckDB/RE2).
 _NON_RE2 = re.compile(r"\(\?[=!<]|\(\?P=|\\[1-9]")
 
+# any case-insensitive inline flag group: (?i), (?si), (?i:...), (?si:...)
+_CASE_INSENSITIVE = re.compile(r"\(\?[aiLmsux-]*i[aiLmsux-]*[):]")
+_NON_ASCII_LETTER = re.compile(r"[^\x00-\x7f]")
+
 
 class ConfigError(ValueError):
     pass
@@ -36,6 +40,23 @@ def _lint_pattern(name: str, pattern: str) -> None:
         raise ConfigError(
             f"pattern {name!r} uses backreference/lookaround — outside the "
             f"RE2 subset the reference (Go regexp) supports: {pattern!r}"
+        )
+    # (?i) folding divergence (ADVICE r4): Go/RE2 apply UNICODE simple
+    # folding under (?i) while this engine pins Python re to re.ASCII (to
+    # keep \d/\w/\b identical across all five engines, ADVICE r3) — so a
+    # case-insensitive pattern containing non-ASCII letters would match
+    # under the reference but not here. Reject that combination instead of
+    # silently diverging. Residual (documented, not linted): RE2's Unicode
+    # folding also maps a few non-ASCII CONTENT chars onto ASCII pattern
+    # letters (e.g. U+212A KELVIN SIGN → 'k'), which no pattern lint can
+    # see; ASCII-only log content is unaffected.
+    if _CASE_INSENSITIVE.search(pattern) and _NON_ASCII_LETTER.search(pattern):
+        raise ConfigError(
+            f"pattern {name!r} combines a case-insensitive flag with "
+            f"non-ASCII characters: Go/RE2 folds case per Unicode while "
+            f"this engine folds per ASCII (the cross-engine \\d/\\w/\\b "
+            f"contract), so matches would silently diverge — spell the "
+            f"case variants explicitly instead: {pattern!r}"
         )
     try:
         re.compile(pattern)
@@ -164,9 +185,17 @@ def _anchor_event_pattern(name: str, rgx: str) -> str:
     string becomes the containing line, which resolves to the real line
     number instead of the reference's line-0 artifact.
 
-    Leading inline global flags (`(?i)boot`, valid anywhere in Go) are
-    HOISTED into the wrapper's flag group — embedding them mid-pattern is a
-    compile error on Python 3.11+ (ADVICE r4).
+    ALL consecutive leading inline global flag groups (`(?i)(?m)boot`,
+    each valid anywhere in Go) are HOISTED and merged — embedding any of
+    them mid-pattern is a compile error on Python 3.11+, and hoisting only
+    the first group left `(?m)` embedded (ADVICE r4).
+
+    The wrapper's own context is `[^\n]*`, not `.*`, so a hoisted `s`
+    (dotall) flag cannot make the wrapper span lines (ADVICE r4: with
+    `.*` under dotall the "containing line" silently became the whole
+    remaining file); `s` is re-scoped to the INNER group as `(?s:…)`, so
+    the user's pattern keeps its upstream dotall semantics while the
+    line-attribution contract survives.
 
     Two documented deviations vs the reference, both warned: (a) reported
     line number is the line's real ordinal, not the reference's line-0
@@ -174,21 +203,26 @@ def _anchor_event_pattern(name: str, rgx: str) -> str:
     containing k occurrences of the inner pattern counts once here, where
     the reference counts k (all at line 0). Count parity holds whenever a
     pattern occurs at most once per line."""
-    m = _LEAD_FLAGS.match(rgx)
-    flags, rest = (m.group(1), rgx[m.end():]) if m else ("", rgx)
+    flags, rest = "", rgx
+    while (m := _LEAD_FLAGS.match(rest)) is not None:
+        flags += m.group(1)
+        rest = rest[m.end():]
     if "m" in flags and rest.startswith("^") and _ends_anchored(rest):
         return rgx  # already full-line anchored — nothing to do
     import warnings
 
     warnings.warn(
         f"ImportantEvents.{name!r} is not full-line anchored; auto-wrapping "
-        f"as '(?m)^.*(?:…).*$'. Deviations vs the reference: real line "
+        f"to full-line form. Deviations vs the reference: real line "
         f"numbers instead of line 0, and one match per line (a line with "
         f"k occurrences counts once, not k)",
         stacklevel=3,
     )
-    wrap_flags = "m" + "".join(f for f in flags if f != "m")
-    return f"(?{wrap_flags})^.*(?:{rest}).*$"
+    inner = f"(?s:{rest})" if "s" in flags else f"(?:{rest})"
+    # dedupe while preserving first-seen order; 'm' leads, 's' stays inner
+    seen = dict.fromkeys(f for f in "m" + flags if f not in "s")
+    wrap_flags = "".join(seen)
+    return f"(?{wrap_flags})^[^\\n]*{inner}[^\\n]*$"
 
 
 def _as_str_map(d: object, what: str) -> dict[str, str]:

@@ -202,25 +202,34 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 MD5_PERMS = 16
 MD5_BANDS = 4  # 4 bands × 4 rows
 
-# Universal-hash permutation family over ONE base hash: perm_i(H) =
-# (A_i·H + B_i) mod P. P = 2^31-1 (Mersenne prime); H is 28 bits (7 hex
-# digits of md5), so A_i·H < 2^59 — plain BIGINT arithmetic in both Spark
-# and DuckDB, no 128-bit intermediate. Constants from a fixed-seed PRNG so
-# both engines embed identical literals.
+# Universal-hash permutation family over ONE base hash. The base H is 60
+# bits (15 hex digits of md5) — a 28-bit base collided distinct shingles at
+# birthday scale (~16k shingles, certain at bench corpora), and a base
+# collision collides in EVERY permutation, biasing Jaccard estimates upward
+# (ADVICE r4). 60 bits makes base collisions negligible (~n²/2^61).
+# A_i·H would overflow BIGINT at 60-bit H, so the permutation hashes the
+# two 30-bit halves Carter-Wegman style:
+#   perm_i(H) = (A_i·(H>>30) + B_i·(H & (2^30-1)) + C_i) mod P,
+# P = 2^31-1 (Mersenne prime), A_i,B_i < P — each product < 2^61, the sum
+# < 2^63: plain BIGINT arithmetic in both Spark and DuckDB, no 128-bit
+# intermediate. Constants from a fixed-seed PRNG so both engines embed
+# identical literals.
 MD5_P = (1 << 31) - 1
+MD5_LO_MASK = (1 << 30) - 1
 import random as _random
 
 _rng = _random.Random(0x5EED_CAFE)
 MD5_LINEAR = [
-    (_rng.randrange(1, MD5_P), _rng.randrange(MD5_P)) for _ in range(MD5_PERMS)
+    (_rng.randrange(1, MD5_P), _rng.randrange(1, MD5_P), _rng.randrange(MD5_P))
+    for _ in range(MD5_PERMS)
 ]
 del _rng
 
 
 def md5_base_hash(col):
-    """First 7 hex digits of md5 as a 28-bit BIGINT — computable
-    bit-identically in DuckDB (`('0x'||substr(md5(x),1,7))::BIGINT`)."""
-    return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("long")
+    """First 15 hex digits of md5 as a 60-bit BIGINT — computable
+    bit-identically in DuckDB (`('0x'||substr(md5(x),1,15))::BIGINT`)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
 def q_dedup_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -230,8 +239,9 @@ def q_dedup_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the exact baseline (murmur3/xxhash64 have no DuckDB equivalent).
 
     ONE md5 per shingle (r3 computed 16 — the measured 2.5× cost over the
-    murmur3 path); the 16 permutations derive from that single 28-bit base
-    hash as (A_i·H + B_i) mod P integer arithmetic, identical in DuckDB.
+    murmur3 path); the 16 permutations derive from that single 60-bit base
+    hash as (A_i·hi + B_i·lo + C_i) mod P integer arithmetic over the two
+    30-bit halves, identical in DuckDB (see MD5_LINEAR block).
     Plan shape is identical to the production path: explode shingles → 16
     min-aggregates (map-side partial agg) → 4-row band arrays → band-bucket
     equi-join on the band's row array → verify colliding candidates with
@@ -257,8 +267,10 @@ def q_dedup_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def perm(i: int):
-        a, b = MD5_LINEAR[i]
-        return (F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MD5_P)
+        a, b, c = MD5_LINEAR[i]
+        hi = F.shiftright(F.col("h"), 30)
+        lo = F.col("h").bitwiseAND(F.lit(MD5_LO_MASK))
+        return (F.lit(a) * hi + F.lit(b) * lo + F.lit(c)) % F.lit(MD5_P)
 
     wide = ex.groupBy("doc_id").agg(
         *[F.min(perm(i)).alias(f"h{i}") for i in range(MD5_PERMS)]
@@ -300,7 +312,7 @@ def q_dedup_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MD5_AB_VALUES = ", ".join(
-    f"({i}, {a}, {b})" for i, (a, b) in enumerate(MD5_LINEAR)
+    f"({i}, {a}, {b}, {c})" for i, (a, b, c) in enumerate(MD5_LINEAR)
 )
 
 Q_DEDUP_MINHASH_LSH_MD5_SQL = f"""
@@ -309,12 +321,14 @@ WITH docs AS (
   FROM documents WHERE len(string_split(text,' ')) >= 3
 ),
 ex AS (
-  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS h
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h
   FROM (SELECT doc_id, unnest(sh) AS shingle FROM docs)
 ),
 hs AS (
-  SELECT doc_id, i, min((ab.a * ex.h + ab.b) % {MD5_P}) AS h
-  FROM ex CROSS JOIN (VALUES {_MD5_AB_VALUES}) ab(i, a, b)
+  SELECT doc_id, i,
+         min((ab.a * (ex.h >> 30) + ab.b * (ex.h & {MD5_LO_MASK}) + ab.c)
+             % {MD5_P}) AS h
+  FROM ex CROSS JOIN (VALUES {_MD5_AB_VALUES}) ab(i, a, b, c)
   GROUP BY doc_id, i
 ),
 bands AS (
@@ -340,17 +354,12 @@ WHERE len(list_intersect(da.sh, db.sh)) * {JACCARD_DEN}
 SIMHASH_BITS = 60  # 15 hex digits of md5 — exactly representable cross-engine
 
 
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """60-bit SimHash fingerprints (doc_id, simhash), computed ENTIRELY
-    JVM-side: explode distinct 3-word shingles → one md5 per shingle (first
-    15 hex digits as a 60-bit BIGINT — the same cross-engine family as the
-    md5 LSH, so DuckDB reproduces the fingerprints bit-identically and this
-    query has a FULL oracle row, r3's last `no_oracle` dedup entry) →
-    broadcast-expand to one (doc_id, bit, ±1 vote) row per bit → ONE narrow
+def _simhash_from_hashes(spark: SparkSession, docs: DataFrame, hb: DataFrame) -> DataFrame:
+    """(doc_id, h: 60-bit-usable BIGINT per shingle) → (doc_id, simhash).
+
+    Broadcast-expand to one (doc_id, bit, ±1 vote) row per bit → ONE narrow
     `groupBy(doc_id, bit).sum` (map-side partial agg) → compact reassembly
-    `sum(1<<bit where vote>0)` per doc. No Python anywhere. A pure-Spark
-    deployment can swap `xxhash64` back in (one line) — the plan shape and
-    the locality property are hash-family-independent.
+    `sum(1<<bit where vote>0)` per doc. No Python anywhere.
 
     Why narrow rows instead of 60 sum-aggregates in one groupBy: the wide
     form's generated aggregate (N when-sums + an N-term reassembly) blows
@@ -358,22 +367,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     INTERPRETED evaluation — measured 16× slower (BENCH_r02 14.8s vs 0.9s)
     on unchanged data. Two small codegen'd aggregates over (long,int,int)
     rows keep every stage inside whole-stage codegen; shuffle volume is
-    ≤ 60 narrow rows/doc after partial aggregation — skew-free and linear.
-
-    Near-dup candidates are low-Hamming pairs; pytest verifies planted
-    near-dups land within Hamming ≤ 12 while random pairs stay far."""
-    docs = _docs(spark, sf_dir).select(
-        F.col("doc_id").cast("long").alias("doc_id"), "text"
-    )
-    sh = fan_out(spark, docs.filter(F.size(F.split("text", " ")) >= 3)).select(
-        "doc_id", F.explode(shingles_col()).alias("shingle")
-    )
-    hb = sh.select(
-        "doc_id",
-        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
-        .cast("long")
-        .alias("h"),
-    )
+    ≤ 60 narrow rows/doc after partial aggregation — skew-free and linear."""
     # 60-row broadcast expansion (BroadcastNestedLoopJoin, codegen'd) — a
     # higher-order filter(sequence(0,59), …) would be interpreted per row
     bits = spark.range(SIMHASH_BITS).select(F.col("id").cast("int").alias("bit"))
@@ -398,7 +392,45 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q_DEDUP_SIMHASH_SQL = f"""
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash fingerprints (doc_id, simhash) — PRODUCTION hash
+    family: one native `xxhash64` per shingle (a single JVM intrinsic; the
+    per-shingle md5→hex→conv chain the r4 default paid for its oracle
+    measured 8× slower, VERDICT r4 #2). Bits 0..59 of the 64-bit hash vote.
+
+    No DuckDB oracle (xxhash64 has no DuckDB equivalent) — correctness is
+    carried by `q_dedup_simhash_md5`, the bit-identical-in-both-engines
+    twin sharing `_simhash_from_hashes` (identical plan, only the hash
+    family differs), plus a property test that BOTH families put planted
+    near-dups at low Hamming distance and random pairs far."""
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    sh = fan_out(spark, docs.filter(F.size(F.split("text", " ")) >= 3)).select(
+        "doc_id", F.explode(shingles_col()).alias("shingle")
+    )
+    hb = sh.select("doc_id", F.xxhash64("shingle").alias("h"))
+    return _simhash_from_hashes(spark, docs, hb)
+
+
+def q_dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash oracle twin: identical plan to `q_dedup_simhash` (shared
+    `_simhash_from_hashes`), but the per-shingle hash is the first 15 hex
+    digits of md5 as a 60-bit BIGINT — the same cross-engine family as the
+    md5 LSH, so DuckDB reproduces the fingerprints bit-identically and this
+    query carries the FULL value-match oracle row for the SimHash
+    algorithm. The xxhash64 twin is the benched production default."""
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    sh = fan_out(spark, docs.filter(F.size(F.split("text", " ")) >= 3)).select(
+        "doc_id", F.explode(shingles_col()).alias("shingle")
+    )
+    hb = sh.select("doc_id", md5_base_hash(F.col("shingle")).alias("h"))
+    return _simhash_from_hashes(spark, docs, hb)
+
+
+Q_DEDUP_SIMHASH_MD5_SQL = f"""
 WITH docs AS (
   SELECT CAST(doc_id AS BIGINT) AS doc_id, {_SHINGLE_SQL} AS sh
   FROM documents WHERE len(string_split(text,' ')) >= 3
@@ -488,15 +520,21 @@ EMB_DIM = 64
 EMB_LSH_BANDS = 8
 EMB_LSH_BITS = 4  # per band → 32 hyperplanes total
 
-# Deterministic ±1 hyperplanes from a fixed-seed PRNG: both engines embed
-# the SAME literal arrays, so the signature (and therefore the output) is
-# cross-engine reproducible. Sign parity across engines relies on the dot
-# products being left-fold sums in identical order (the same assumption
-# every cosine oracle here makes); a sign flip would need |dot| at the
-# double-rounding scale (~1e-16), astronomically unlikely for real vectors.
+# Deterministic GAUSSIAN hyperplanes from a fixed-seed PRNG: both engines
+# embed the SAME literal arrays (repr(float) round-trips the exact double in
+# Python, Spark and DuckDB), so the signature (and therefore the output) is
+# cross-engine reproducible. Gaussian, not ±1 Rademacher (r4): the
+# 1-arccos(cos)/pi per-bit collision law assumes SPHERICALLY SYMMETRIC
+# plane normals; ±1 planes are not, and measured recall at 8×4 was 0.571
+# vs Gaussian 0.857 on the identical corpus (sf0.01) — the r4 'below the
+# derived floor' anomaly was the plane family, not the derivation's band
+# algebra. Sign parity across engines relies on the dot products being
+# left-fold sums in identical order (the same assumption every cosine
+# oracle here makes); a sign flip would need |dot| at the double-rounding
+# scale (~1e-16), astronomically unlikely for real vectors.
 _rng_p = _random.Random(0xA55ED1CE)
 EMB_PLANES = [
-    [_rng_p.choice((-1.0, 1.0)) for _ in range(EMB_DIM)]
+    [_rng_p.gauss(0.0, 1.0) for _ in range(EMB_DIM)]
     for _ in range(EMB_LSH_BANDS * EMB_LSH_BITS)
 ]
 del _rng_p
@@ -521,14 +559,30 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     hyperplanes), candidates come from an equi-join on (band, key) —
     shuffle O(n·bands), never all-pairs — and only colliding candidates
     are verified with the exact cosine. Recall < 1 by design (pairs whose
-    signatures collide in no band are never scored): at the cos=0.45
-    threshold the per-bit collision prob is 1-arccos(0.45)/pi ~= 0.649, so
-    theoretical recall floor = 1-(1-0.649^4)^8 ~= 0.79 (measured: 1.0 at
-    sf0.001, 0.57 at sf0.01 — borderline pairs dominate small corpora);
-    more bands buy recall linearly in shuffle cost. Precision = 1 (every
-    emitted pair is exact-verified). pytest measures recall against the
-    exact baseline; the DuckDB oracle runs the SAME deterministic planes,
-    so the driver check is a full value match."""
+    signatures collide in no band are never scored): for GAUSSIAN plane
+    normals the per-bit collision prob at the cos=0.45 threshold is
+    1-arccos(0.45)/pi ~= 0.649, so the expected recall floor for a pair AT
+    the threshold is 1-(1-0.649^4)^8 ~= 0.79; pairs above the threshold do
+    better. Measured with the fixed-seed Gaussian planes: 0.857 at both
+    sf0.001 (6/7 exact pairs) and sf0.01 (12/14) — within one binomial sd
+    of the floor, as expected for corpora whose qualifying pairs cluster
+    just above the threshold (sf0.01: all 14 pairs have cos ≤ 0.513).
+    r4's 0.57-vs-0.79 anomaly was the ±1 Rademacher plane family violating
+    the derivation's spherical-symmetry assumption (see EMB_PLANES), not
+    the band algebra. More bands buy recall linearly in shuffle cost.
+    Precision = 1 (every emitted pair is exact-verified).
+
+    100-TB sizing note: EMB_LSH_BITS is the bucket-granularity knob — a
+    band's expected candidate load is ~n²/2^bits (random pairs agree per
+    bit with prob 1/2), so production sizing is bits ≈ log2(n/β) for a
+    target bucket size β, with bands grown to hold recall (the classic
+    hyperplane-LSH exponent at this threshold: ρ = ln(1/0.649)/ln 2 ≈
+    0.62, i.e. total work ~ n^1.62 — sub-quadratic, not linear; a tighter
+    cosine threshold lowers ρ). The 4-bit/8-band default is sized for the
+    test corpora (n ≤ 2000), where deeper buckets would leave qualifying
+    pairs unmeasurable. pytest measures recall against the exact baseline
+    at sf0.001 AND sf0.01; the DuckDB oracle runs the SAME deterministic
+    planes, so the driver check is a full value match."""
     emb = fan_out(
         spark, spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     ).select(
@@ -636,8 +690,12 @@ SPECS: list[QuerySpec] = [
     QuerySpec("dedup_minhash_lsh_md5", "MinHash+LSH with cross-engine md5 "
               "hash family (full oracle)", q_dedup_minhash_lsh_md5,
               Q_DEDUP_MINHASH_LSH_MD5_SQL),
-    QuerySpec("dedup_simhash", "SimHash fingerprints (cross-engine md5 "
-              "family, full oracle)", q_dedup_simhash, Q_DEDUP_SIMHASH_SQL),
+    QuerySpec("dedup_simhash", "SimHash fingerprints (production xxhash64 "
+              "family; rows-only — md5 twin carries the oracle)",
+              q_dedup_simhash, None),
+    QuerySpec("dedup_simhash_md5", "SimHash oracle twin (cross-engine md5 "
+              "family, full oracle)", q_dedup_simhash_md5,
+              Q_DEDUP_SIMHASH_MD5_SQL),
     QuerySpec("dedup_embedding_cosine", "embedding cosine near-dup pairs",
               q_dedup_embedding_cosine, Q_DEDUP_EMBEDDING_COSINE_SQL),
     QuerySpec("dedup_embedding_lsh", "random-hyperplane LSH near-dup scale "

@@ -37,6 +37,16 @@ def _format_gate(path: str) -> None:
     if ext not in _ALLOWED_EXT:
         # reference: "Invalid Format" (extractFiles.go:101)
         raise ValueError(f"Invalid Format: {path!r} — only .txt and .gz accepted")
+    # the line-ordinal contract below relies on split ordering WITHIN one
+    # regular file; a glob/directory/multi-file path has no defined
+    # cross-file line order (the reference ingests exactly one uploaded
+    # file too, extractFiles.go:100-115) — reject instead of misnumbering
+    if not os.path.isfile(path):
+        raise ValueError(
+            f"Invalid Format: {path!r} is not a single regular file — the "
+            f"line ordinal is defined per uploaded file (pass files one at "
+            f"a time with distinct file_no)"
+        )
 
 
 # Log-token vocabularies are template-bounded (format strings × small value
@@ -98,11 +108,22 @@ def ingest_text_logs(
     # per split); the driver turns counts into per-split starting offsets
     # (#splits-sized, never row-scaled); pass 2 ranks within the split and
     # adds the broadcast offset. No Python touches a row.
+    #
+    # Both passes MUST observe the same (split_id, mid) assignment, but
+    # lazily they are two separate jobs re-planning the text scan — a
+    # session-config change between them (or any future multi-file path)
+    # could silently re-split and misnumber lines (ADVICE r4). Materialize
+    # the assignment ONCE (eager localCheckpoint) so the counts and the
+    # window rank read the identical partitioning by construction; the
+    # reference caps uploads at 10 MiB (extractFiles.go), so the
+    # materialized frame is small by contract. _format_gate already pins
+    # the input to a single regular file (split ordering is only defined
+    # within one file).
     with_split = lines.select(
         "value",
         F.spark_partition_id().alias("split_id"),
         F.monotonically_increasing_id().alias("mid"),
-    )
+    ).localCheckpoint(eager=True)
     counts = sorted(
         (r["split_id"], r["cnt"])
         for r in with_split.groupBy("split_id").agg(F.count("*").alias("cnt")).collect()

@@ -36,7 +36,7 @@ def test_important_events_auto_anchor():
     rejecting (ADVICE r2 compat item), with a warning."""
     with pytest.warns(UserWarning, match="auto-wrapping"):
         cfg = parse_config({"ImportantEvents": {"E": r"boot failure"}})
-    assert cfg.important_events["E"] == r"(?m)^.*(?:boot failure).*$"
+    assert cfg.important_events["E"] == r"(?m)^[^\n]*(?:boot failure)[^\n]*$"
     # already-anchored patterns pass through untouched, no warning
     import warnings
 

@@ -21,7 +21,7 @@ def test_anchor_hoists_leading_flags():
     with pytest.warns(UserWarning, match="auto-wrapping"):
         cfg = parse_config({"ImportantEvents": {"E": r"(?i)boot failure"}})
     wrapped = cfg.important_events["E"]
-    assert wrapped == r"(?mi)^.*(?:boot failure).*$"
+    assert wrapped == r"(?mi)^[^\n]*(?:boot failure)[^\n]*$"
     rgx = re.compile(wrapped)  # must compile (validate() also checks)
     assert rgx.search("a line with BOOT FAILURE inside").group(0) == (
         "a line with BOOT FAILURE inside"
@@ -108,15 +108,20 @@ def test_oracle_ascii_parity():
 
 
 # --- embedding LSH scale path: precision 1 by construction; measure recall
-def test_embedding_lsh_recall(spark):
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_embedding_lsh_recall(spark, sf):
     """Random-hyperplane LSH pairs must be a SUBSET of the exact cosine
-    pairs (every emitted pair is exact-verified) with usable recall on the
-    fixture corpus. The DuckDB oracle runs the identical deterministic
-    planes, so the driver check is a full value match; this test pins the
-    quality claim against the exact baseline."""
+    pairs (every emitted pair is exact-verified), with recall gated AT THE
+    SCALE IT IS MEASURED (VERDICT r4 #4) against the documented floor:
+    expected recall for a pair at the cos=0.45 threshold is ~0.79 with
+    GAUSSIAN planes (r5 — the r4 ±1 planes violated the derivation's
+    spherical-symmetry assumption and measured 0.57); the gate allows one
+    binomial sd below the floor because both fixtures have ≤ 14 qualifying
+    pairs, all barely above the threshold. Measured with the fixed seed:
+    0.857 at both scales. The DuckDB oracle runs the identical
+    deterministic planes, so the driver check is a full value match."""
     from radar_log_parser_spark.operators import dedup
 
-    sf = "/root/testdata/sf0.001"
     exact = {
         (r["a_id"], r["b_id"]) for r in dedup.q_dedup_embedding_cosine(spark, sf).collect()
     }
@@ -126,7 +131,12 @@ def test_embedding_lsh_recall(spark):
     assert lsh <= exact  # precision 1: only exact-verified pairs
     assert exact  # fixture plants near-dup pairs
     recall = len(lsh) / len(exact)
-    assert recall >= 0.5, f"recall {recall:.2f} over {len(exact)} exact pairs"
+    floor = 0.79
+    sd = (floor * (1 - floor) / len(exact)) ** 0.5
+    assert recall >= floor - sd, (
+        f"recall {recall:.3f} < floor-1sd {floor - sd:.3f} "
+        f"over {len(exact)} exact pairs"
+    )
 
 
 # --- directive r3-#5: no per-row Python left anywhere in sources/

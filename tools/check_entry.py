@@ -50,10 +50,16 @@ def main():
 
     spark = get_spark(app="check_entry", master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
+    counts = {}
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
+        counts[t] = con.sql(f"SELECT count(*) FROM {t}").fetchone()[0]
+    # scale context for every correctness row below (VERDICT r4 #6): the
+    # md5-LSH / simhash / textops queries run over `documents`, the ANN
+    # queries over `embeddings`, the log queries over `events`
+    print(f"INPUT {sf_dir}: " + " ".join(f"{t}={n:,}" for t, n in sorted(counts.items())))
 
     queries = entry.queries()
     oracles = entry.oracle_sql()

