@@ -107,38 +107,48 @@ def field_subjects(scope: DataFrame) -> DataFrame:
     return g.unionByName(ng)
 
 
-def field_contents(cfg: ConfigSpec, scope: DataFrame) -> DataFrame:
-    """A4/F5 per-issue field extraction → (source, issue, field, n, joined).
-    Standalone form; the pipeline summary computes the same cells inside
-    the fused summary_aggregate (same bucket scheme).
+def two_level_hit_agg(
+    subj: DataFrame,
+    pairs: list[tuple[str, str, str]],
+    extra_row_cols: tuple = (),
+    extra_aggs1: tuple = (),
+    extra_aggs2: tuple = (),
+) -> DataFrame:
+    """THE shared two-level ordered field aggregation (r5: one builder for
+    both `field_contents` and `summary_aggregate`, which previously
+    duplicated ~100 lines of this machinery). Input `subj` is a subject
+    frame with (source, issue, proc_rank, line_no, match_pos, subject)
+    plus whatever the caller's extra aggregates need; output is one row
+    per (source, issue) with N{k} (hit count) and J{k} (scan-ordered
+    newline-joined hits) per (issue, field) pair, plus the caller's
+    extra lvl2 aggregates.
 
-    SINGLE PASS over the scoped frame for EVERY (issue, field) pair: one
-    plan per pair (the previous design) re-scanned the materialized scope
-    once per pair — 13 passes on the bench config, the dominant wall-time
-    at 8M rows and a guaranteed scale-killer at 100 TB. Here each pair is a
-    `when(issue == …)` guarded regexp_extract_all column (codegen evaluates
-    only the owning issue's extracts per row), aggregated in one two-level
-    shuffle and unpivoted with `stack`.
+    SINGLE PASS for EVERY (issue, field) pair: each pair is a
+    `when(issue == …)` guarded regexp_extract_all column (codegen
+    evaluates only the owning issue's extracts per row) — one plan per
+    pair would re-scan the materialized scope 13 times on the bench
+    config, the dominant wall-time at 8M rows and a guaranteed
+    scale-killer at 100 TB.
 
     Two-level ordered aggregation: a single collect_list+sort per
     (source, issue) would funnel every match through ONE reducer. Level 1
     buckets by (proc_rank, line_no div 65536) — consistent with the scan
     order — and builds per-bucket strings in parallel; level 2 merges the
     few bucket strings in order.
-    """
-    pairs: list[tuple[str, str, str]] = []  # (issue, field, pattern)
-    for iname in sorted(cfg.issues):
-        spec = cfg.issues[iname]
-        fields = dict(cfg.general.other_fields)
-        fields.update(spec.additional_fields)
-        for fname in sorted(fields):
-            pairs.append((iname, fname, fields[fname]))
-    if not pairs:
-        return None  # type: ignore[return-value]
 
-    subj = field_subjects(scope)
+    Scalar packed sort key: sorting structs that CONTAIN the hit arrays
+    forces an interpreted ordering over nested types (measured: the lvl1
+    sort dominated the whole pipeline). (line_no, match_pos) packs into
+    one BIGINT — match_pos < 2^20 matches/line, line_no < 2^43 — and the
+    per-row hits pre-join to a single string, so the sorted structs are
+    (bigint, string): binary-comparable, codegen'd.
+    """
+    row_ord = (F.col("line_no") * F.lit(1 << 20) + F.col("match_pos")).alias("ord")
+    bucket = F.floor(F.col("line_no") / F.lit(65536)).alias("line_bucket")
     per_row = subj.select(
-        "source", "issue", "proc_rank", "line_no", "match_pos",
+        "source", "issue", "proc_rank",
+        *extra_row_cols,
+        row_ord, bucket,
         *[
             F.when(
                 F.col("issue") == iname,
@@ -147,15 +157,8 @@ def field_contents(cfg: ConfigSpec, scope: DataFrame) -> DataFrame:
             for k, (iname, _f, pat) in enumerate(pairs)
         ],
     )
-    bucket = F.floor(F.col("line_no") / F.lit(65536)).alias("line_bucket")
-    # scalar packed sort key: sorting structs that CONTAIN the hit arrays
-    # forces an interpreted ordering over nested types (measured: the lvl1
-    # sort dominated the whole pipeline). (line_no, match_pos) packs into
-    # one BIGINT — match_pos < 2^20 matches/line, line_no < 2^43 — and the
-    # per-row hits pre-join to a single string, so the sorted structs are
-    # (bigint, string): binary-comparable, codegen'd.
-    row_ord = (F.col("line_no") * F.lit(1 << 20) + F.col("match_pos")).alias("ord")
-    aggs1 = []
+
+    aggs1 = list(extra_aggs1)
     for k in range(len(pairs)):
         h = F.col(f"h{k}")
         # coalesce the null rows (non-owning issues) to 0 explicitly: under
@@ -185,11 +188,9 @@ def field_contents(cfg: ConfigSpec, scope: DataFrame) -> DataFrame:
                 "\n",
             ).alias(f"j{k}")
         )
-    lvl1 = per_row.withColumn("ord", row_ord).groupBy(
-        "source", "issue", "proc_rank", bucket
-    ).agg(*aggs1)
+    lvl1 = per_row.groupBy("source", "issue", "proc_rank", "line_bucket").agg(*aggs1)
 
-    aggs2 = []
+    aggs2 = list(extra_aggs2)
     for k in range(len(pairs)):
         aggs2.append(F.sum(F.col(f"n{k}")).alias(f"N{k}"))
         # zero-hit buckets must not contribute empty lines to the join
@@ -212,7 +213,18 @@ def field_contents(cfg: ConfigSpec, scope: DataFrame) -> DataFrame:
                 "\n",
             ).alias(f"J{k}")
         )
-    lvl2 = lvl1.groupBy("source", "issue").agg(*aggs2)
+    return lvl1.groupBy("source", "issue").agg(*aggs2)
+
+
+def field_contents(cfg: ConfigSpec, scope: DataFrame) -> DataFrame:
+    """A4/F5 per-issue field extraction → (source, issue, field, n, joined).
+    Standalone form: the shared two-level builder (`two_level_hit_agg`, also
+    the engine of the fused pipeline summary) unpivoted with `stack`."""
+    pairs = _summary_pairs(cfg)
+    if not pairs:
+        return None  # type: ignore[return-value]
+
+    lvl2 = two_level_hit_agg(field_subjects(scope), pairs)
 
     stack_args = ", ".join(
         f"'{fname}', N{k}, J{k}" for k, (_i, fname, _p) in enumerate(pairs)
@@ -280,102 +292,48 @@ def summary_aggregate(cfg: ConfigSpec, scope_slim: DataFrame) -> DataFrame:
     packed scan-order key next to each partial min_by/max_by: the key is
     unique per subject row within (source, issue), so lvl2's
     min_by(partial_value, partial_key) reproduces the global selection.
+
+    r5: the bucketed two-level field machinery lives in the shared
+    `two_level_hit_agg` builder (also the engine of the standalone
+    `field_contents`); this function only contributes the summary's extra
+    per-row flags and first/last aggregates.
     """
     pairs = _summary_pairs(cfg)
     subj = summary_subjects(scope_slim)
 
     ng_ord = F.when(~F.col("grouped_row"), _ord())
     g_ord = F.when(F.col("grouped_row") & F.col("is_match"), _line_ord())
-    row_ord = (F.col("line_no") * F.lit(1 << 20) + F.col("match_pos")).alias("ord")
-    bucket = F.floor(F.col("line_no") / F.lit(65536)).alias("line_bucket")
 
-    per_row = subj.select(
-        "source", "issue", "proc_rank", "subject",
-        F.col("grouped_row"), F.col("is_match"),
-        ng_ord.alias("ng_ord"), g_ord.alias("g_ord"),
-        row_ord, bucket,
-        *[
-            F.when(
-                F.col("issue") == iname,
-                F.regexp_extract_all("subject", F.lit(pat), 0),
-            ).alias(f"h{k}")
-            for k, (iname, _f, pat) in enumerate(pairs)
-        ],
+    return two_level_hit_agg(
+        subj,
+        pairs,
+        extra_row_cols=(
+            "subject",
+            F.col("grouped_row"),
+            F.col("is_match"),
+            ng_ord.alias("ng_ord"),
+            g_ord.alias("g_ord"),
+        ),
+        extra_aggs1=(
+            F.sum(F.when(~F.col("grouped_row"), 1).otherwise(0)).alias("o_num1"),
+            F.min("ng_ord").alias("o_ford1"),
+            F.min_by("subject", "ng_ord").alias("o_first1"),
+            F.max("ng_ord").alias("o_lord1"),
+            F.max_by("subject", "ng_ord").alias("o_last1"),
+            F.sum(
+                F.when(F.col("grouped_row") & F.col("is_match"), 1).otherwise(0)
+            ).alias("g_num1"),
+            F.max("g_ord").alias("g_lord1"),
+            F.max_by("subject", "g_ord").alias("g_last1"),
+        ),
+        extra_aggs2=(
+            F.sum("o_num1").alias("o_number"),
+            F.min_by("o_first1", "o_ford1").alias("first_match"),
+            F.max_by("o_last1", "o_lord1").alias("last_match"),
+            F.sum("g_num1").alias("g_number"),
+            F.max_by("g_last1", "g_lord1").alias("last_line"),
+        ),
     )
-
-    aggs1 = [
-        F.sum(F.when(~F.col("grouped_row"), 1).otherwise(0)).alias("o_num1"),
-        F.min("ng_ord").alias("o_ford1"),
-        F.min_by("subject", "ng_ord").alias("o_first1"),
-        F.max("ng_ord").alias("o_lord1"),
-        F.max_by("subject", "ng_ord").alias("o_last1"),
-        F.sum(
-            F.when(F.col("grouped_row") & F.col("is_match"), 1).otherwise(0)
-        ).alias("g_num1"),
-        F.max("g_ord").alias("g_lord1"),
-        F.max_by("subject", "g_ord").alias("g_last1"),
-    ]
-    for k in range(len(pairs)):
-        h = F.col(f"h{k}")
-        # coalesce the null rows (non-owning issues) to 0 explicitly: under
-        # ANSI (Spark 4 default) size(NULL) is NULL and sum skips it, but on
-        # a legacy-mode 3.x cluster size(NULL) = -1 would silently subtract
-        # one per non-owning row — don't depend on the ANSI default
-        aggs1.append(F.sum(F.coalesce(F.size(h), F.lit(0))).alias(f"n{k}"))
-        # collect_list skips nulls (non-owning / zero-hit rows), so only
-        # owning, matching rows enter the sort buffer; subjects pre-join to
-        # ONE string so the sorted structs are (bigint, string) —
-        # binary-comparable, codegen'd (see field_contents rationale)
-        aggs1.append(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(
-                                F.size(h) > 0,
-                                F.struct(
-                                    F.col("ord"),
-                                    F.array_join(h, "\n").alias("s"),
-                                ),
-                            )
-                        )
-                    ),
-                    lambda s: s["s"],
-                ),
-                "\n",
-            ).alias(f"j{k}")
-        )
-    lvl1 = per_row.groupBy("source", "issue", "proc_rank", "line_bucket").agg(*aggs1)
-
-    aggs2 = [
-        F.sum("o_num1").alias("o_number"),
-        F.min_by("o_first1", "o_ford1").alias("first_match"),
-        F.max_by("o_last1", "o_lord1").alias("last_match"),
-        F.sum("g_num1").alias("g_number"),
-        F.max_by("g_last1", "g_lord1").alias("last_line"),
-    ]
-    for k in range(len(pairs)):
-        aggs2.append(F.sum(F.col(f"n{k}")).alias(f"N{k}"))
-        aggs2.append(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(
-                                F.col(f"n{k}") > 0,
-                                F.struct(
-                                    "proc_rank", "line_bucket",
-                                    F.col(f"j{k}").alias("jp"),
-                                ),
-                            )
-                        )
-                    ),
-                    lambda s: s["jp"],
-                ),
-                "\n",
-            ).alias(f"J{k}")
-        )
-    return lvl1.groupBy("source", "issue").agg(*aggs2)
 
 
 def summary_frame(
