@@ -6,6 +6,10 @@ spread; the artifact records every raw run so the steady-state e2e wall
 can be stated next to the steal-inflated tail instead of as an
 unverifiable claim.
 
+Each input may be a single-run JSON or a .jsonl with one JSON object per
+invocation (the campaign appends runs to one file so a VM wipe cannot
+destroy earlier samples).
+
 Usage: python tools/e2e_distribution.py out.json RUN_JSON [RUN_JSON ...]
 """
 
@@ -22,15 +26,19 @@ def main() -> None:
     for p in paths:
         with open(p) as f:
             text = f.read().strip()
-        d = json.loads(text.splitlines()[-1])
-        runs.append({
-            "pipeline_seconds": d["pipeline_seconds"],
-            "pipeline_rows_per_sec": d["pipeline_rows_per_sec"],
-            "runs_sec": d.get("pipeline_runs_sec", []),
-            "spread_sec": d.get("pipeline_spread_sec"),
-            "cpus": d.get("cpus"),
-            "rows": d.get("pipeline_rows"),
-        })
+        for line in text.splitlines():
+            line = line.strip()
+            if not line.startswith("{"):
+                continue
+            d = json.loads(line)
+            runs.append({
+                "pipeline_seconds": d["pipeline_seconds"],
+                "pipeline_rows_per_sec": d["pipeline_rows_per_sec"],
+                "runs_sec": d.get("pipeline_runs_sec", []),
+                "spread_sec": d.get("pipeline_spread_sec"),
+                "cpus": d.get("cpus"),
+                "rows": d.get("pipeline_rows"),
+            })
     all_raw = sorted(t for r in runs for t in r["runs_sec"])
     mins = sorted(r["pipeline_seconds"] for r in runs)
     report = {
