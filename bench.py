@@ -171,25 +171,26 @@ def run_pipeline_bench(
         t0 = time.monotonic()
 
         # every sink write + aggregate collect is an independent job over
-        # the materialized parse stage: hand them ALL to the pipeline's one
-        # concurrent pool (driver-sequenced phases leave cores idle — a
-        # fixed wall cost that reads as anti-scaling at 4N)
-        def sink_jobs(sinks):
-            jobs = [
-                sinks[name].write.format("noop").mode("overwrite").save
-                for name in ("specific_issues", "other_routed", "grouped_routed",
-                             "events", "severity")
-            ]
-            jobs.append(sinks["grouped_issues"].collect)
-            # the summary materializes as a SINK WRITE inside the same
-            # pool — a production job writes the report table; collecting
-            # it would pull the unbounded joined-field strings through the
-            # driver (the measured 30-60 s serial tail this replaced)
-            jobs.append(sinks["summary"].write.format("noop").mode("overwrite").save)
-            return jobs
+        # the materialized parse stage: the pipeline submits each to its
+        # ONE concurrent pool the moment that sink's inputs are
+        # materialized (dependency-tiered fan-out — see Pipeline.run), so
+        # the keep-set collect and the slim materialization overlap the
+        # sink jobs instead of serializing in front of them
+        def sink_jobs(name, df):
+            if name in ("specific_issues", "other_routed", "grouped_routed",
+                        "events", "severity", "summary"):
+                # the summary materializes as a SINK WRITE like the rest —
+                # a production job writes the report table; collecting it
+                # would pull the unbounded joined-field strings through
+                # the driver (the measured 30-60 s serial tail this
+                # replaced)
+                return df.write.format("noop").mode("overwrite").save
+            if name == "grouped_issues":
+                return df.collect
+            return None
 
         pipe = Pipeline(spark, run_cfg, run_vocab, run_logs, checkpoint=False)
-        res = pipe.run(concurrent_jobs=sink_jobs)
+        res = pipe.run(job_factory=sink_jobs)
         dt = time.monotonic() - t0
         print(json.dumps({"phase_timings": pipe.timings}), file=sys.stderr)
         res.sinks["parsed"].unpersist(blocking=True)

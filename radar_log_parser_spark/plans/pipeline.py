@@ -307,13 +307,23 @@ class Pipeline:
         return self.ckpt.read(name)
 
     # -- the graph ----------------------------------------------------------
-    def run(self, concurrent_jobs=None) -> PipelineResult:
-        """concurrent_jobs: optional callable(sinks_dict) -> list[thunk];
-        the thunks (e.g. sink writes) are submitted to the SAME pool as the
-        summary-input collects, so the cluster processes every independent
-        job of the fan-out at once instead of in driver-sequenced phases —
-        the idle gaps between serial phases are pure anti-scale (they cost
-        the same wall at N and 4N cores)."""
+    def run(self, job_factory=None) -> PipelineResult:
+        """job_factory: optional callable(name, df) -> thunk | None, called
+        for each sink AT THE MOMENT that sink's inputs are materialized; a
+        returned thunk (e.g. a sink write) is submitted to ONE shared pool
+        immediately. The fan-out is therefore DEPENDENCY-TIERED instead of
+        driver-sequenced: sinks that need only the parsed blocks (events,
+        severity) execute UNDERNEATH the Q1 keep-set collect, the per-issue
+        sinks execute underneath the slim-scope materialization, and only
+        the aggregate consumers wait for the slim blocks. Driver-sequenced
+        materialization is pure anti-scale — the old kept→slim serial
+        window cost 36–53 s at BOTH scaling levels (r5 campaign phase
+        data), an Amdahl-dominant serial fraction at 16 cores while the
+        4-core leg hid it under saturation. Within the final tier the
+        fused summary — the measured fan-out straggler — is submitted
+        FIRST (LPT order): under FIFO job scheduling its tasks win ties,
+        so the long job spans the whole window instead of draining alone
+        in the tail."""
         spark = self.spark
         cfg = self.cfg
         self.timings: dict[str, float] = {}
@@ -354,7 +364,48 @@ class Pipeline:
                     eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
                 )
         self.timings["parse_materialize"] = round(time.monotonic() - t0, 2)
-        t0 = time.monotonic()  # plan_build window: stage builds + kept()
+        t_fan = time.monotonic()  # the overlapped fan-out window opens here
+
+        # ONE shared pool for every sink job; sinks are handed to it the
+        # moment their inputs are materialized (dependency tiers), so the
+        # keep-set collect and the slim materialization below never leave
+        # the cluster idle.
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=12) if job_factory else None
+        futs = []
+        row_sinks: dict[str, DataFrame] = {}
+
+        def ready(name: str, df: DataFrame) -> None:
+            row_sinks[name] = df
+            if pool is None:
+                return
+            thunk = job_factory(name, df)
+            if thunk is None:
+                return
+
+            def go(thunk=thunk, name=name):
+                s = time.monotonic()
+                r = thunk()
+                self.timings[f"job_{name}"] = round(time.monotonic() - s, 2)
+                return r
+
+            futs.append(pool.submit(go))
+
+        # ---- tier 0: parsed-only sinks, submitted BEFORE the keep-set
+        # collect so they execute underneath it
+        events = self._stage(
+            "events", lambda: routing.events_sink(parsed), parents=["parsed"]
+        )
+        severity = self._stage(
+            "severity",
+            lambda: routing.severity_sink(parsed),
+            parents=["parsed"],
+            salted_by="source",
+        )
+        ready("parsed", parsed)
+        ready("events", events)
+        ready("severity", severity)
 
         # the Q1 keep-set is config-sized: collect it ONCE and re-plan it as
         # a literal frame, so the N broadcast-join consumers below don't each
@@ -375,6 +426,8 @@ class Pipeline:
 
         ipmap = routing.issue_process_map(spark, cfg)
 
+        # ---- tier 1: keep-set consumers (the kept() collect runs here in
+        # the main thread, underneath the tier-0 jobs)
         specific = self._stage(
             "specific_issues",
             lambda: routing.specific_issues(parsed, kept()),
@@ -389,31 +442,6 @@ class Pipeline:
             parents=["parsed"],
             bucket_by="doc_id",
         )
-        # Aggregation reads a SLIM scope: every aggregate keys on
-        # (source, issue, proc_rank, line_no) plus the match arrays, and
-        # needs `text` only on GROUPED rows (grouped_totals' last-line
-        # extract + field_subjects' grouped branch) — so the projection
-        # drops tokens/n_tok/doc_id/process entirely and nulls text on
-        # non-grouped rows. Checkpoint mode gets pruning from parquet; in
-        # bench mode the slim frame is materialized (serialized eager
-        # localCheckpoint) by DEFAULT: the summary DAG's three aggregate
-        # subtrees otherwise re-derive it from the fat parsed blocks —
-        # 3 full-row decodes of memory traffic, the resource the 4N leg is
-        # ceiling-bound on (A/B: summary job 186→85 s at 16 cores,
-        # BENCH/BASELINE.md). RLPS_BENCH_SLIM=off restores the lazy form
-        # for A/B.
-        scope_slim = scope.select(
-            "source", "issue", "proc_rank", "grouped", "line_no",
-            F.when(F.col("grouped"), F.col("text")).alias("text"),
-            "match_arr", "grp_arr",
-        )
-        if self.ckpt is None and os.environ.get("RLPS_BENCH_SLIM", "lc") == "lc":
-            from pyspark import StorageLevel
-
-            scope_slim = scope_slim.localCheckpoint(
-                eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
-            )
-        self._scope_slim = scope_slim
         other = self._stage(
             "other_routed",
             lambda: routing.other_routed(scope),
@@ -426,37 +454,43 @@ class Pipeline:
             parents=["scoped"],
             bucket_by="doc_id",
         )
-        events = self._stage(
-            "events", lambda: routing.events_sink(parsed), parents=["parsed"]
-        )
-        severity = self._stage(
-            "severity",
-            lambda: routing.severity_sink(parsed),
-            parents=["parsed"],
-            salted_by="source",
-        )
+        ready("specific_issues", specific)
+        ready("scoped", scope)
+        ready("other_routed", other)
+        ready("grouped_routed", grouped)
 
-        grouped_issues = self._stage(
-            "grouped_issues",
-            lambda: agg.grouped_counts(routing.grouped_matches(scope_slim)),
-            parents=["grouped_routed"],
+        # Aggregation reads a SLIM scope: every aggregate keys on
+        # (source, issue, proc_rank, line_no) plus the match arrays, and
+        # needs `text` only on GROUPED rows (grouped_totals' last-line
+        # extract + field_subjects' grouped branch) — so the projection
+        # drops tokens/n_tok/doc_id/process entirely and nulls text on
+        # non-grouped rows. Checkpoint mode gets pruning from parquet; in
+        # bench mode the slim frame is materialized (serialized eager
+        # localCheckpoint) by DEFAULT: the summary DAG's three aggregate
+        # subtrees otherwise re-derive it from the fat parsed blocks —
+        # 3 full-row decodes of memory traffic, the resource the 4N leg is
+        # ceiling-bound on (A/B: summary job 186→85 s at 16 cores,
+        # BENCH/BASELINE.md). RLPS_BENCH_SLIM=off restores the lazy form
+        # for A/B. The materialization runs in the MAIN thread but the
+        # tier-0/1 jobs above are already draining in the pool underneath
+        # it — the window is overlapped, not serial.
+        scope_slim = scope.select(
+            "source", "issue", "proc_rank", "grouped", "line_no",
+            F.when(F.col("grouped"), F.col("text")).alias("text"),
+            "match_arr", "grp_arr",
         )
+        if self.ckpt is None and os.environ.get("RLPS_BENCH_SLIM", "lc") == "lc":
+            from pyspark import StorageLevel
 
-        row_sinks = {
-            "parsed": parsed,
-            "specific_issues": specific,
-            "scoped": scope,
-            "scoped_slim": scope_slim,
-            "other_routed": other,
-            "grouped_routed": grouped,
-            "events": events,
-            "severity": severity,
-            "grouped_issues": grouped_issues,
-            "match_sets": agg.other_issue_match_sets(
-                routing.other_matches(scope_slim)
-            ),
-        }
+            s = time.monotonic()
+            scope_slim = scope_slim.localCheckpoint(
+                eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+            )
+            self.timings["slim_materialize"] = round(time.monotonic() - s, 2)
+        self._scope_slim = scope_slim
+        ready("scoped_slim", scope_slim)
 
+        # ---- tier 2: slim-scope consumers, straggler (summary) FIRST
         # Distributed summary (A8): one lazy DataFrame whose DAG is a SINGLE
         # fused two-level aggregation over the slim scope (summary
         # aggregate: non-grouped totals + first/last, grouped totals + last
@@ -484,34 +518,31 @@ class Pipeline:
             summary = self.ckpt.read("summary").orderBy(
                 "source", F.desc("priority"), F.asc("issue")
             )
-        row_sinks["summary"] = summary
+        ready("summary", summary)
 
-        # every caller-supplied job (sink writes + the summary
-        # materialization in bench mode) is an independent Spark job over
-        # the materialized parse stage — submit them all to ONE pool so the
-        # cluster processes the whole fan-out at once (driver-side phase
-        # sequencing is a fixed serial wall that reads as anti-scaling)
-        from concurrent.futures import ThreadPoolExecutor
+        grouped_issues = self._stage(
+            "grouped_issues",
+            lambda: agg.grouped_counts(routing.grouped_matches(scope_slim)),
+            parents=["grouped_routed"],
+        )
+        ready("grouped_issues", grouped_issues)
+        ready(
+            "match_sets",
+            agg.other_issue_match_sets(routing.other_matches(scope_slim)),
+        )
 
-        extra = list(concurrent_jobs(row_sinks)) if concurrent_jobs else []
-        self.timings["plan_build"] = round(time.monotonic() - t0, 2)
-        t0 = time.monotonic()
+        # plan_build = the main-thread define-and-materialize path (kept
+        # collect + slim materialization + stage builds); fanout_jobs = the
+        # whole overlapped window. plan_build ⊂ fanout_jobs now — the old
+        # serial layout paid them back-to-back.
+        self.timings["plan_build"] = round(time.monotonic() - t_fan, 2)
 
-        def timed(name, fn):
-            def go():
-                s = time.monotonic()
-                r = fn()
-                self.timings[f"job_{name}"] = round(time.monotonic() - s, 2)
-                return r
-            return go
-
-        if extra:
-            with ThreadPoolExecutor(max_workers=len(extra)) as pool:
-                futs = [
-                    pool.submit(timed(f"extra{i}", j)) for i, j in enumerate(extra)
-                ]
+        if pool is not None:
+            try:
                 for f in futs:
                     f.result()
-        self.timings["fanout_jobs"] = round(time.monotonic() - t0, 2)
+            finally:
+                pool.shutdown(wait=False)
+        self.timings["fanout_jobs"] = round(time.monotonic() - t_fan, 2)
 
         return PipelineResult(sinks=dict(row_sinks), metrics=self.metrics)
