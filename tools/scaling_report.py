@@ -152,13 +152,21 @@ def main() -> None:
         "exactly those windows. Raw all-rounds numbers are reported "
         "beside the clean-gate numbers.",
         "",
-        "**Measured pipeline configuration** (unchanged dataflow since "
-        "r4): spark.rdd.compress=true (lz4 over every materialized block "
-        "the seven fan-out consumers re-read), slim-scope materialization "
-        "default (narrower projection: no tokens/doc_id, text nulled on "
-        "non-grouped rows), the summary fused into ONE two-level "
-        "aggregation with a single assembly join, source dim from the "
-        "column-pruned raw scan, min-of-3 e2e bench with spread.",
+        "**Measured pipeline configuration**: spark.rdd.compress=true "
+        "(lz4 over every materialized block the seven fan-out consumers "
+        "re-read), slim-scope materialization default (narrower "
+        "projection: no tokens/doc_id, text nulled on non-grouped rows), "
+        "the summary fused into ONE two-level aggregation with a single "
+        "assembly join, source dim from the column-pruned raw scan, "
+        "min-of-3 e2e bench with spread, and (since commit ac30e9f, "
+        "mid-r5) the DEPENDENCY-TIERED fan-out: each sink job submitted "
+        "to one shared pool the moment its inputs materialize, so the "
+        "keep-set collect and slim-scope materialization overlap the "
+        "sink jobs instead of serializing 36–53 s in front of them, and "
+        "the fused summary (the straggler) is submitted first in its "
+        "tier (LPT). Rounds measured BEFORE that commit are a different "
+        "code population and are reported separately (see prior-campaign "
+        "section).",
         "",
         f"| round | clean | wall@N={N} (s) | wall@4N={N4} (s) | thr@N (seq/s) | thr@4N (seq/s) | efficiency | host CPU ×/4.0 | host DRAM ×/4.0 | eff/CPU-ceiling | eff/DRAM-ceiling |",
         "|---|---|---|---|---|---|---|---|---|---|---|",
