@@ -158,6 +158,23 @@ class ConfigSpec:
         return self
 
 
+def summary_pairs(cfg: ConfigSpec) -> list[tuple[str, str, str]]:
+    """(issue, field, pattern) triples in (issue asc, field asc) order — the
+    STATIC field catalog every consumer shares: the parse stage extracts one
+    per-line hit column per pair (functions/fieldex.py), the fused summary
+    and `field_contents` aggregate those columns by position k, and the
+    assembly (`summary_frame`) renders them. The order is deterministic so
+    positional column names (schema.fld_col) mean the same pair everywhere."""
+    pairs: list[tuple[str, str, str]] = []
+    for iname in sorted(cfg.issues):
+        spec = cfg.issues[iname]
+        fields = dict(cfg.general.other_fields)
+        fields.update(spec.additional_fields)
+        for fname in sorted(fields):
+            pairs.append((iname, fname, fields[fname]))
+    return pairs
+
+
 # leading inline global flags, e.g. '(?i)boot' — valid in Go anywhere, but
 # Python 3.11+ rejects them MID-pattern, so wrapping must hoist them first
 _LEAD_FLAGS = re.compile(r"^\(\?([aiLmsux]+)\)")

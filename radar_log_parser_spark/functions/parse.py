@@ -139,11 +139,13 @@ def _match_batch(pdf: pd.DataFrame, cfg: ConfigSpec, vocab_arr: np.ndarray) -> p
     data["sev_levels"] = sev_levels
     data["sev_counts"] = sev_counts
 
+    ngrp_lists: dict[str, list[list[str]]] = {}
     for iname, rgx in cc.ngrp:
         col: list[list[str]] = [[] for _ in range(n)]
         hits = st.contains(rgx, regex=True).to_numpy()
         for i in np.flatnonzero(hits):
             col[i] = [m.group(0) for m in rgx.finditer(tn[i])]
+        ngrp_lists[iname] = col
         data[f"ngrp__{iname}"] = col
 
     for iname, rgx in cc.grp:
@@ -154,6 +156,18 @@ def _match_batch(pdf: pd.DataFrame, cfg: ConfigSpec, vocab_arr: np.ndarray) -> p
             if m is not None:
                 col[i] = [g if g is not None else "" for g in m.groups()]
         data[f"grp__{iname}"] = col
+
+    # per-line field hits (A4/F5) — same parse-time extraction as the Arrow
+    # path (functions/fieldex.py); struct cells as {'n','j'} dicts
+    from radar_log_parser_spark.functions.fieldex import (
+        extract_field_rows,
+        field_plan,
+    )
+    from radar_log_parser_spark.functions.schema import fld_cols
+
+    fld = extract_field_rows(field_plan(cfg), list(tn), data["procs"], ngrp_lists)
+    for c, col_vals in zip(fld_cols(cfg), fld):
+        data[c] = col_vals
 
     return pd.DataFrame(data)
 

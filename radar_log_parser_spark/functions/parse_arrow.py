@@ -30,6 +30,7 @@ from radar_log_parser_spark.config import (
     ConfigSpec,
     severity_pattern,
 )
+from radar_log_parser_spark.functions.fieldex import extract_field_columns, field_plan
 from radar_log_parser_spark.functions.schema import parsed_arrow_schema
 
 
@@ -104,13 +105,23 @@ def decode_tokens(tokens: pa.Array, vocab_pa: pa.Array) -> pa.Array:
     return pc.binary_join(lists, " ")
 
 
-def _name_lists(text: pa.Array, patterns, n: int) -> pa.Array:
+def _name_masks(text: pa.Array, patterns) -> dict[str, np.ndarray]:
+    return {
+        name: pc.match_substring_regex(text, pat).to_numpy(zero_copy_only=False)
+        for name, pat in patterns
+    }
+
+
+def _lists_from_masks(masks: dict[str, np.ndarray], patterns, n: int) -> pa.Array:
     out: list[list[str]] = [[] for _ in range(n)]
-    for name, pat in patterns:
-        hits = pc.match_substring_regex(text, pat).to_numpy(zero_copy_only=False)
-        for i in np.flatnonzero(hits):
+    for name, _pat in patterns:
+        for i in np.flatnonzero(masks[name]):
             out[i].append(name)
     return pa.array(out, pa.list_(pa.string()))
+
+
+def _name_lists(text: pa.Array, patterns, n: int) -> pa.Array:
+    return _lists_from_masks(_name_masks(text, patterns), patterns, n)
 
 
 def _list_array(counts: np.ndarray, values: list, value_type) -> pa.Array:
@@ -141,9 +152,12 @@ def match_batch_arrow(batch: pa.RecordBatch, cfg: ConfigSpec, vocab_pa: pa.Array
             txt_np = text.to_numpy(zero_copy_only=False)
         return txt_np
 
+    # proc hit masks are retained: the per-line field extraction below
+    # reuses them as eligibility prefilters for grouped-issue pairs
+    proc_masks = _name_masks(text, cc.procs)
     cols: list[pa.Array] = [
         doc_id, source, line_no, tokens, n_tok, text,
-        _name_lists(text, cc.procs, n),
+        _lists_from_masks(proc_masks, cc.procs, n),
         _name_lists(text, cc.events, n),
     ]
 
@@ -174,7 +188,10 @@ def match_batch_arrow(batch: pa.RecordBatch, cfg: ConfigSpec, vocab_pa: pa.Array
     cols.append(_list_array(sev_counts, flat_counts, pa.int32()))
 
     # non-grouped issues: RE2 prefilter; Python finditer on hit rows only
-    # (FindAllString semantics: ALL match substrings per row, in order)
+    # (FindAllString semantics: ALL match substrings per row, in order).
+    # counts+values retained per issue: the field extraction below scans
+    # these exact substrings as its non-grouped subjects
+    ngrp_matches: dict[str, tuple[np.ndarray, list[str]]] = {}
     for iname, pat, crgx in cc.ngrp:
         counts = np.zeros(n, dtype=np.int64)
         values: list[str] = []
@@ -186,6 +203,7 @@ def match_batch_arrow(batch: pa.RecordBatch, cfg: ConfigSpec, vocab_pa: pa.Array
                 ms = [m.group(0) for m in crgx.finditer(tn[i])]
                 counts[i] = len(ms)
                 values.extend(ms)
+        ngrp_matches[iname] = (counts, values)
         cols.append(_list_array(counts, values, pa.string()))
 
     # grouped issues: first-match capture tuple per row (Go
@@ -217,5 +235,12 @@ def match_batch_arrow(batch: pa.RecordBatch, cfg: ConfigSpec, vocab_pa: pa.Array
                     counts[i] = crgx.groups
                     values.extend(g if g is not None else "" for g in m.groups())
         cols.append(_list_array(counts, values, pa.string()))
+
+    # per-line field hits (A4/F5) — extracted HERE, in the embarrassingly-
+    # parallel pass, instead of per scoped subject row inside the fan-out
+    # window (see functions/fieldex.py for the rationale and semantics)
+    cols.extend(
+        extract_field_columns(field_plan(cfg), n, text, texts, proc_masks, ngrp_matches)
+    )
 
     return pa.RecordBatch.from_arrays(cols, schema=parsed_arrow_schema(cfg))

@@ -21,7 +21,7 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from radar_log_parser_spark.config import ConfigSpec
+from radar_log_parser_spark.config import ConfigSpec, summary_pairs
 
 def _ord():
     """Scan-order key: reproduces the reference's issueContent string order
@@ -86,49 +86,66 @@ def grouped_totals(grouped_routed: DataFrame) -> DataFrame:
     )
 
 
-def field_subjects(scope: DataFrame) -> DataFrame:
-    """The per-row field-scan subjects, built in ONE pass over the scoped
-    frame. Quirk Q10 asymmetry (replicated exactly): non-grouped fields scan
-    the MATCH SUBSTRINGS (analyzeLog.go:279,289-297, one subject per match);
-    grouped fields scan the FULL scoped content — every scoped line,
-    matching or not (analyzeLog.go:222-231)."""
-    # two plain codegen'd branches + union — building the subjects with a
-    # single when(grouped, array(struct…))/transform/explode expression
-    # dropped the plan into interpreted higher-order evaluation (measured
-    # 4× slower than two passes over the scope)
-    g = scope.filter(F.col("grouped")).select(
-        "source", "issue", "proc_rank", "line_no",
-        F.lit(0).alias("match_pos"), F.col("text").alias("subject"),
-    )
-    ng = scope.filter(~F.col("grouped")).select(
-        "source", "issue", "proc_rank", "line_no",
-        F.posexplode("match_arr").alias("match_pos", "subject"),
-    )
-    return g.unionByName(ng)
+def with_field_hits(cfg: ConfigSpec, scope: DataFrame) -> DataFrame:
+    """JVM twin of the PARSE-TIME per-line field extraction
+    (functions/fieldex.py): derives the fld{k} struct<n,j> columns at line
+    grain with `regexp_extract_all`. The pipeline gets these columns free
+    from parse_stage; this twin serves callers holding a scope frame built
+    without them (tests, ad-hoc frames) and doubles as the
+    parity-testable JVM expression of the extraction semantics. Quirk Q10
+    preserved: grouped pairs scan the row's full `text` (every scoped
+    line, matching or not); non-grouped pairs scan each MATCH SUBSTRING
+    in order, zero-hit substrings contributing nothing."""
+    from radar_log_parser_spark.functions.schema import fld_col
+
+    cols = []
+    for k, (iname, fname, pat) in enumerate(summary_pairs(cfg)):
+        if cfg.issues[iname].grouped:
+            hits = F.when(
+                F.col("grouped") & (F.col("issue") == iname),
+                F.regexp_extract_all("text", F.lit(pat), 0),
+            )
+        else:
+            # flatten preserves (match_pos, hit) order — identical to the
+            # per-subject join since "\n" separates both levels
+            hits = F.when(
+                ~F.col("grouped") & (F.col("issue") == iname),
+                F.flatten(
+                    F.transform(
+                        "match_arr",
+                        lambda m: F.regexp_extract_all(m, F.lit(pat), 0),
+                    )
+                ),
+            )
+        cols.append(
+            F.when(
+                F.size(hits) > 0,
+                F.struct(
+                    F.size(hits).cast("int").alias("n"),
+                    F.array_join(hits, "\n").alias("j"),
+                ),
+            ).alias(fld_col(k, iname, fname))
+        )
+    return scope.select("*", *cols)
 
 
-def two_level_hit_agg(
-    subj: DataFrame,
+def line_grain_hit_agg(
+    rows: DataFrame,
     pairs: list[tuple[str, str, str]],
     extra_row_cols: tuple = (),
     extra_aggs1: tuple = (),
     extra_aggs2: tuple = (),
 ) -> DataFrame:
-    """THE shared two-level ordered field aggregation (r5: one builder for
-    both `field_contents` and `summary_aggregate`, which previously
-    duplicated ~100 lines of this machinery). Input `subj` is a subject
-    frame with (source, issue, proc_rank, line_no, match_pos, subject)
-    plus whatever the caller's extra aggregates need; output is one row
+    """THE shared two-level ordered field aggregation, at LINE GRAIN over
+    parse-time hit columns (r5: this replaced a subject-grain version that
+    re-ran every field regex per scoped subject row INSIDE the fan-out
+    window — measured 75-85% of the fused summary job's wall at 32M rows,
+    in the worst-scaling, most DRAM-exposed stage; see functions/fieldex).
+    Input `rows` is a slim-scope-grain frame (source, issue, proc_rank,
+    line_no) carrying the fld{k} struct<n,j> columns; output is one row
     per (source, issue) with N{k} (hit count) and J{k} (scan-ordered
-    newline-joined hits) per (issue, field) pair, plus the caller's
-    extra lvl2 aggregates.
-
-    SINGLE PASS for EVERY (issue, field) pair: each pair is a
-    `when(issue == …)` guarded regexp_extract_all column (codegen
-    evaluates only the owning issue's extracts per row) — one plan per
-    pair would re-scan the materialized scope 13 times on the bench
-    config, the dominant wall-time at 8M rows and a guaranteed
-    scale-killer at 100 TB.
+    newline-joined hits) per (issue, field) pair, plus the caller's extra
+    lvl2 aggregates.
 
     Two-level ordered aggregation: a single collect_list+sort per
     (source, issue) would funnel every match through ONE reducer. Level 1
@@ -136,50 +153,45 @@ def two_level_hit_agg(
     order — and builds per-bucket strings in parallel; level 2 merges the
     few bucket strings in order.
 
-    Scalar packed sort key: sorting structs that CONTAIN the hit arrays
-    forces an interpreted ordering over nested types (measured: the lvl1
-    sort dominated the whole pipeline). (line_no, match_pos) packs into
-    one BIGINT — match_pos < 2^20 matches/line, line_no < 2^43 — and the
-    per-row hits pre-join to a single string, so the sorted structs are
-    (bigint, string): binary-comparable, codegen'd.
+    Scalar packed sort key: sorting structs that CONTAIN nested data drops
+    the sort into interpreted ordering (measured: it dominated the whole
+    pipeline). The per-line hits are ALREADY one pre-joined string from
+    the parse pass, so the sorted structs are (bigint, string):
+    binary-comparable, codegen'd. A line under two kept processes of one
+    issue appears once per (proc_rank) copy with distinct packed ords —
+    the reference renders it once per process block (quirk Q3 order).
     """
-    row_ord = (F.col("line_no") * F.lit(1 << 20) + F.col("match_pos")).alias("ord")
+    from radar_log_parser_spark.functions.schema import fld_col
+
+    row_ord = _line_ord().alias("ord")
     bucket = F.floor(F.col("line_no") / F.lit(65536)).alias("line_bucket")
-    per_row = subj.select(
+    per_row = rows.select(
         "source", "issue", "proc_rank",
         *extra_row_cols,
         row_ord, bucket,
         *[
-            F.when(
-                F.col("issue") == iname,
-                F.regexp_extract_all("subject", F.lit(pat), 0),
-            ).alias(f"h{k}")
-            for k, (iname, _f, pat) in enumerate(pairs)
+            F.col(fld_col(k, iname, fname)).alias(f"h{k}")
+            for k, (iname, fname, _p) in enumerate(pairs)
         ],
     )
 
     aggs1 = list(extra_aggs1)
     for k in range(len(pairs)):
         h = F.col(f"h{k}")
-        # coalesce the null rows (non-owning issues) to 0 explicitly: under
-        # ANSI (Spark 4 default) size(NULL) is NULL and sum skips it, but on
-        # a legacy-mode 3.x cluster size(NULL) = -1 would silently subtract
-        # one per non-owning row — don't depend on the ANSI default
-        aggs1.append(F.sum(F.coalesce(F.size(h), F.lit(0))).alias(f"n{k}"))
-        # collect_list skips the null produced by the un-otherwise'd when()
-        # on rows of a different issue / zero-hit rows, so only owning,
-        # matching rows enter the sort buffer
+        # h is null on rows of other issues and on zero-hit lines (the
+        # parse extraction only materializes n > 0); coalesce to 0 so the
+        # count never depends on null-skipping sum semantics
+        aggs1.append(F.sum(F.coalesce(h["n"], F.lit(0))).alias(f"n{k}"))
+        # collect_list skips nulls, so only owning, matching lines enter
+        # the sort buffer
         aggs1.append(
             F.array_join(
                 F.transform(
                     F.array_sort(
                         F.collect_list(
                             F.when(
-                                F.size(h) > 0,
-                                F.struct(
-                                    F.col("ord"),
-                                    F.array_join(h, "\n").alias("s"),
-                                ),
+                                h.isNotNull(),
+                                F.struct(F.col("ord"), h["j"].alias("s")),
                             )
                         )
                     ),
@@ -218,13 +230,19 @@ def two_level_hit_agg(
 
 def field_contents(cfg: ConfigSpec, scope: DataFrame) -> DataFrame:
     """A4/F5 per-issue field extraction → (source, issue, field, n, joined).
-    Standalone form: the shared two-level builder (`two_level_hit_agg`, also
-    the engine of the fused pipeline summary) unpivoted with `stack`."""
+    Standalone form: the shared line-grain builder (`line_grain_hit_agg`,
+    also the engine of the fused pipeline summary) unpivoted with `stack`.
+    Accepts a scope with or without the parse-time fld columns (the JVM
+    twin derives them when absent)."""
     pairs = _summary_pairs(cfg)
     if not pairs:
         return None  # type: ignore[return-value]
 
-    lvl2 = two_level_hit_agg(field_subjects(scope), pairs)
+    from radar_log_parser_spark.functions.schema import fld_cols
+
+    if fld_cols(cfg)[0] not in scope.columns:
+        scope = with_field_hits(cfg, scope)
+    lvl2 = line_grain_hit_agg(scope, pairs)
 
     stack_args = ", ".join(
         f"'{fname}', N{k}, J{k}" for k, (_i, fname, _p) in enumerate(pairs)
@@ -240,40 +258,8 @@ def field_contents(cfg: ConfigSpec, scope: DataFrame) -> DataFrame:
     )
 
 
-def _summary_pairs(cfg: ConfigSpec) -> list[tuple[str, str, str]]:
-    """(issue, field, pattern) triples in (issue asc, field asc) order —
-    the static field catalog both the aggregate and the assembly use."""
-    pairs: list[tuple[str, str, str]] = []
-    for iname in sorted(cfg.issues):
-        spec = cfg.issues[iname]
-        fields = dict(cfg.general.other_fields)
-        fields.update(spec.additional_fields)
-        for fname in sorted(fields):
-            pairs.append((iname, fname, fields[fname]))
-    return pairs
-
-
-def summary_subjects(scope_slim: DataFrame) -> DataFrame:
-    """field_subjects plus the flags/keys the fused summary aggregate needs:
-    grouped_row (which branch produced the row), is_match (grouped rows:
-    did the grouping pattern match — drives g_number/last_line), and the
-    line ordinal. Quirk Q10 preserved: grouped rows carry EVERY scoped
-    line's text (matching or not) as the field-scan subject; non-grouped
-    rows carry one subject per match substring."""
-    g = scope_slim.filter(F.col("grouped")).select(
-        "source", "issue", "proc_rank", "line_no",
-        F.lit(0).alias("match_pos"),
-        F.col("text").alias("subject"),
-        F.lit(True).alias("grouped_row"),
-        (F.size(F.coalesce(F.col("grp_arr"), F.array())) > 0).alias("is_match"),
-    )
-    ng = scope_slim.filter(~F.col("grouped")).select(
-        "source", "issue", "proc_rank", "line_no",
-        F.posexplode("match_arr").alias("match_pos", "subject"),
-        F.lit(False).alias("grouped_row"),
-        F.lit(True).alias("is_match"),
-    )
-    return g.unionByName(ng)
+# canonical (issue, field, pattern) catalog — see config.summary_pairs
+_summary_pairs = summary_pairs
 
 
 def summary_aggregate(cfg: ConfigSpec, scope_slim: DataFrame) -> DataFrame:
@@ -282,49 +268,58 @@ def summary_aggregate(cfg: ConfigSpec, scope_slim: DataFrame) -> DataFrame:
     grouped totals + last matching line (A3), and every field's count +
     ordered joined content (A4/F5) — in a SINGLE pass over the slim scope.
 
-    r3 ran four scans (field_subjects' two union legs + other_issue_aggs +
-    grouped_totals) over the materialized slim blocks; at 32M rows the
+    r3 ran four scans over the materialized slim blocks; at 32M rows the
     summary job was the fan-out straggler and scaled worst 4→16 cores
-    (memory-bandwidth-bound re-reads). Fusing them into one grouped
-    aggregation removes two full block scans and two shuffles.
+    (memory-bandwidth-bound re-reads). r4 fused them into one grouped
+    aggregation. r5: the aggregation runs at LINE GRAIN over PARSE-TIME
+    hit columns (functions/fieldex.py) — no subject explode/union, no
+    regex, and no full-text traffic left in this job; the field machinery
+    lives in the shared `line_grain_hit_agg` builder (also the engine of
+    the standalone `field_contents`).
 
     first/last selections merge across the two levels by carrying the
     packed scan-order key next to each partial min_by/max_by: the key is
-    unique per subject row within (source, issue), so lvl2's
+    unique per slim row within (source, issue), so lvl2's
     min_by(partial_value, partial_key) reproduces the global selection.
-
-    r5: the bucketed two-level field machinery lives in the shared
-    `two_level_hit_agg` builder (also the engine of the standalone
-    `field_contents`); this function only contributes the summary's extra
-    per-row flags and first/last aggregates.
+    Non-grouped first/last are line-local projections (match_arr is in
+    scan order, so the issue's first match is element 1 of the minimal
+    line's array and the last is element -1 of the maximal line's).
     """
     pairs = _summary_pairs(cfg)
-    subj = summary_subjects(scope_slim)
+    from radar_log_parser_spark.functions.schema import fld_cols
 
-    ng_ord = F.when(~F.col("grouped_row"), _ord())
-    g_ord = F.when(F.col("grouped_row") & F.col("is_match"), _line_ord())
+    if pairs and fld_cols(cfg)[0] not in scope_slim.columns:
+        scope_slim = with_field_hits(cfg, scope_slim)
 
-    return two_level_hit_agg(
-        subj,
+    n_ng = F.size(F.coalesce(F.col("match_arr"), F.array()))
+    is_match = F.size(F.coalesce(F.col("grp_arr"), F.array())) > 0
+    ng_ord = F.when(~F.col("grouped") & (n_ng > 0), _line_ord())
+    g_ord = F.when(F.col("grouped") & is_match, _line_ord())
+
+    return line_grain_hit_agg(
+        scope_slim,
         pairs,
         extra_row_cols=(
-            "subject",
-            F.col("grouped_row"),
-            F.col("is_match"),
+            n_ng.alias("n_ng"),
+            F.col("grouped"),
+            # try_: ANSI element_at throws on the empty arrays of
+            # non-matching lines (the values are only consumed where
+            # ng_ord is non-null, but the projection evaluates every row)
+            F.try_element_at("match_arr", F.lit(1)).alias("first_m"),
+            F.try_element_at("match_arr", F.lit(-1)).alias("last_m"),
+            F.col("text"),
             ng_ord.alias("ng_ord"),
             g_ord.alias("g_ord"),
         ),
         extra_aggs1=(
-            F.sum(F.when(~F.col("grouped_row"), 1).otherwise(0)).alias("o_num1"),
+            F.sum(F.when(~F.col("grouped"), F.col("n_ng")).otherwise(0)).alias("o_num1"),
             F.min("ng_ord").alias("o_ford1"),
-            F.min_by("subject", "ng_ord").alias("o_first1"),
+            F.min_by("first_m", "ng_ord").alias("o_first1"),
             F.max("ng_ord").alias("o_lord1"),
-            F.max_by("subject", "ng_ord").alias("o_last1"),
-            F.sum(
-                F.when(F.col("grouped_row") & F.col("is_match"), 1).otherwise(0)
-            ).alias("g_num1"),
+            F.max_by("last_m", "ng_ord").alias("o_last1"),
+            F.sum(F.when(F.col("g_ord").isNotNull(), 1).otherwise(0)).alias("g_num1"),
             F.max("g_ord").alias("g_lord1"),
-            F.max_by("subject", "g_ord").alias("g_last1"),
+            F.max_by("text", "g_ord").alias("g_last1"),
         ),
         extra_aggs2=(
             F.sum("o_num1").alias("o_number"),

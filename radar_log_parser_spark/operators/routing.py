@@ -79,19 +79,24 @@ def scoped_direct(
     The per-issue match columns collapse to two narrow arrays here (a
     config-sized CASE, codegen'd), so the scope frame's width no longer
     depends on the config — cheap to checkpoint/cache."""
+    from radar_log_parser_spark.config import summary_pairs
     from radar_log_parser_spark.functions.schema import (
+        fld_col,
         grp_col,
         grp_issue_names,
         ngrp_col,
         ngrp_issue_names,
     )
 
+    pairs = summary_pairs(cfg)
+    fcols = [fld_col(k, i, f) for k, (i, f, _p) in enumerate(pairs)]
     keep_cols = ["source", "doc_id", "line_no", "tokens", "n_tok", "text"]
     exploded = parsed.select(
         *keep_cols,
         F.explode("procs").alias("process"),
         *[F.col(ngrp_col(n)) for n in ngrp_issue_names(cfg)],
         *[F.col(grp_col(n)) for n in grp_issue_names(cfg)],
+        *fcols,
     )
     kept_rows = exploded.join(
         F.broadcast(kept.select("source", "process")), ["source", "process"], "inner"
@@ -109,6 +114,13 @@ def scoped_direct(
         "doc_id", "line_no", "tokens", "n_tok", "text",
         case_over(ngrp_issue_names(cfg), ngrp_col).alias("match_arr"),
         case_over(grp_issue_names(cfg), grp_col).alias("grp_arr"),
+        # per-line parse-time field hits, nulled on rows of other issues:
+        # pair k is only meaningful where row.issue owns it (and the parse-
+        # side eligibility mask may be wider than this row's process)
+        *[
+            F.when(F.col("issue") == iname, F.col(c)).alias(c)
+            for c, (iname, _f, _p) in zip(fcols, pairs)
+        ],
     )
 
 

@@ -461,10 +461,14 @@ class Pipeline:
 
         # Aggregation reads a SLIM scope: every aggregate keys on
         # (source, issue, proc_rank, line_no) plus the match arrays, and
-        # needs `text` only on GROUPED rows (grouped_totals' last-line
-        # extract + field_subjects' grouped branch) — so the projection
-        # drops tokens/n_tok/doc_id/process entirely and nulls text on
-        # non-grouped rows. Checkpoint mode gets pruning from parquet; in
+        # needs `text` only on grouped MATCHING rows (grouped_totals' /
+        # the fused summary's last-line extract) — field scanning no
+        # longer needs any text because the per-line hits are extracted
+        # at PARSE time (functions/fieldex.py, r5) and ride along as the
+        # sparse fld{k} struct columns. The projection drops
+        # tokens/n_tok/doc_id/process entirely and nulls text on
+        # everything but grouped matches. Checkpoint mode gets pruning
+        # from parquet; in
         # bench mode the slim frame is materialized (serialized eager
         # localCheckpoint) by DEFAULT: the summary DAG's three aggregate
         # subtrees otherwise re-derive it from the fat parsed blocks —
@@ -474,10 +478,16 @@ class Pipeline:
         # for A/B. The materialization runs in the MAIN thread but the
         # tier-0/1 jobs above are already draining in the pool underneath
         # it — the window is overlapped, not serial.
+        from radar_log_parser_spark.functions.schema import fld_cols
+
         scope_slim = scope.select(
             "source", "issue", "proc_rank", "grouped", "line_no",
-            F.when(F.col("grouped"), F.col("text")).alias("text"),
+            F.when(
+                F.col("grouped") & (F.size(F.coalesce(F.col("grp_arr"), F.array())) > 0),
+                F.col("text"),
+            ).alias("text"),
             "match_arr", "grp_arr",
+            *fld_cols(cfg),
         )
         if self.ckpt is None and os.environ.get("RLPS_BENCH_SLIM", "lc") == "lc":
             from pyspark import StorageLevel

@@ -61,7 +61,6 @@ def main(cpus: int, n_rows: int) -> None:
     tm("slim_noop", lambda: slim.write.format("noop").mode("overwrite").save())
     tm("other_matches_count", lambda: routing.other_matches(slim).count())
     tm("grouped_matches_count", lambda: routing.grouped_matches(slim).count())
-    tm("subjects_count", lambda: agg.field_subjects(slim).count())
     tm("fields_collect", lambda: len(agg.field_contents(cfg, slim).collect()))
     tm("other_aggs", lambda: len(agg.other_issue_aggs(routing.other_matches(slim)).collect()))
     tm("g_totals", lambda: len(agg.grouped_totals(routing.grouped_matches(slim)).collect()))

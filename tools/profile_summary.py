@@ -97,10 +97,16 @@ def main() -> None:
     scope = routing.scoped_direct(parsed, kept, ipmap, cfg)
     from pyspark.sql import functions as F
 
+    from radar_log_parser_spark.functions.schema import fld_cols
+
     scope_slim_lazy = scope.select(
         "source", "issue", "proc_rank", "grouped", "line_no",
-        F.when(F.col("grouped"), F.col("text")).alias("text"),
+        F.when(
+            F.col("grouped") & (F.size(F.coalesce(F.col("grp_arr"), F.array())) > 0),
+            F.col("text"),
+        ).alias("text"),
         "match_arr", "grp_arr",
+        *fld_cols(cfg),
     )
 
     from pyspark import StorageLevel
@@ -116,7 +122,7 @@ def main() -> None:
     tm("slim_build", build_slim, reps=1)
     slim = slim_holder[-1]
 
-    tm("subjects_scan", lambda: agg.summary_subjects(slim).write.format("noop").mode("overwrite").save())
+    tm("slim_scan", lambda: slim.write.format("noop").mode("overwrite").save())
     tm("sum_full", lambda: agg.summary_frame(
         spark, cfg, parsed.select("source").distinct(), agg.summary_aggregate(cfg, slim)
     ).collect())
@@ -130,9 +136,7 @@ def main() -> None:
     finally:
         agg._summary_pairs = lambda _cfg, _p=real_pairs: _p
 
-    tm("sum_fields_only", lambda: agg.two_level_hit_agg(
-        agg.summary_subjects(slim), real_pairs
-    ).collect())
+    tm("sum_fields_only", lambda: agg.line_grain_hit_agg(slim, real_pairs).collect())
 
     print(json.dumps({"cpus": args.cpus, "rows": args.rows, "pairs": len(real_pairs), **t}))
     spark.stop()
