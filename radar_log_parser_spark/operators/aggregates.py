@@ -291,7 +291,19 @@ def summary_aggregate(cfg: ConfigSpec, scope_slim: DataFrame) -> DataFrame:
     if pairs and fld_cols(cfg)[0] not in scope_slim.columns:
         scope_slim = with_field_hits(cfg, scope_slim)
 
-    n_ng = F.size(F.coalesce(F.col("match_arr"), F.array()))
+    if "n_ng" in scope_slim.columns:
+        # pipeline slim scope: match_arr already reduced to the three
+        # line-local scalars the aggregation needs (pipeline.py) — the
+        # materialized blocks never carry the substrings
+        n_ng = F.col("n_ng")
+        first_m, last_m = F.col("first_m"), F.col("last_m")
+    else:
+        n_ng = F.size(F.coalesce(F.col("match_arr"), F.array()))
+        # try_: ANSI element_at throws on the empty arrays of non-matching
+        # lines (the values are only consumed where ng_ord is non-null,
+        # but the projection evaluates every row)
+        first_m = F.try_element_at("match_arr", F.lit(1))
+        last_m = F.try_element_at("match_arr", F.lit(-1))
     is_match = F.size(F.coalesce(F.col("grp_arr"), F.array())) > 0
     ng_ord = F.when(~F.col("grouped") & (n_ng > 0), _line_ord())
     g_ord = F.when(F.col("grouped") & is_match, _line_ord())
@@ -302,11 +314,8 @@ def summary_aggregate(cfg: ConfigSpec, scope_slim: DataFrame) -> DataFrame:
         extra_row_cols=(
             n_ng.alias("n_ng"),
             F.col("grouped"),
-            # try_: ANSI element_at throws on the empty arrays of
-            # non-matching lines (the values are only consumed where
-            # ng_ord is non-null, but the projection evaluates every row)
-            F.try_element_at("match_arr", F.lit(1)).alias("first_m"),
-            F.try_element_at("match_arr", F.lit(-1)).alias("last_m"),
+            first_m.alias("first_m"),
+            last_m.alias("last_m"),
             F.col("text"),
             ng_ord.alias("ng_ord"),
             g_ord.alias("g_ord"),

@@ -480,13 +480,21 @@ class Pipeline:
         # it — the window is overlapped, not serial.
         from radar_log_parser_spark.functions.schema import fld_cols
 
+        # match_arr itself stays behind: the aggregates only need the match
+        # COUNT and the first/last substring per line (line-local
+        # projections — match_arr is in scan order), so the slim blocks
+        # carry 3 scalars instead of every substring. match_sets, the one
+        # consumer of the full arrays, reads the fat scope directly.
         scope_slim = scope.select(
             "source", "issue", "proc_rank", "grouped", "line_no",
             F.when(
                 F.col("grouped") & (F.size(F.coalesce(F.col("grp_arr"), F.array())) > 0),
                 F.col("text"),
             ).alias("text"),
-            "match_arr", "grp_arr",
+            F.size(F.coalesce(F.col("match_arr"), F.array())).alias("n_ng"),
+            F.try_element_at("match_arr", F.lit(1)).alias("first_m"),
+            F.try_element_at("match_arr", F.lit(-1)).alias("last_m"),
+            "grp_arr",
             *fld_cols(cfg),
         )
         if self.ckpt is None and os.environ.get("RLPS_BENCH_SLIM", "lc") == "lc":
@@ -538,7 +546,7 @@ class Pipeline:
         ready("grouped_issues", grouped_issues)
         ready(
             "match_sets",
-            agg.other_issue_match_sets(routing.other_matches(scope_slim)),
+            agg.other_issue_match_sets(routing.other_matches(scope)),
         )
 
         # plan_build = the main-thread define-and-materialize path (kept

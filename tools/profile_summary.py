@@ -105,7 +105,10 @@ def main() -> None:
             F.col("grouped") & (F.size(F.coalesce(F.col("grp_arr"), F.array())) > 0),
             F.col("text"),
         ).alias("text"),
-        "match_arr", "grp_arr",
+        F.size(F.coalesce(F.col("match_arr"), F.array())).alias("n_ng"),
+        F.try_element_at("match_arr", F.lit(1)).alias("first_m"),
+        F.try_element_at("match_arr", F.lit(-1)).alias("last_m"),
+        "grp_arr",
         *fld_cols(cfg),
     )
 
