@@ -35,6 +35,9 @@ for chunk in $(seq 1 "$CHUNKS"); do
   python bench.py --scaling --rounds 1 --no-md \
     >> "$RAW/scaling_rounds.out" 2>> "$RAW/scaling_rounds.log"
   echo "scaling chunk $chunk done $(date -u +%H:%M:%S)" >> "$RAW/status"
+  python bench.py --pipeline-only --repeats 3 \
+    >> "$RAW/e2e_dist.jsonl" 2>> "$RAW/e2e_dist.err"
+  echo "e2e run $chunk done $(date -u +%H:%M:%S)" >> "$RAW/status"
   git add "$RAW" && git commit -q \
     -m "Campaign r5c snapshot: chunk $chunk" -- "$RAW" || true
   [ -f "$RAW/stop" ] && break
