@@ -62,16 +62,28 @@ class FieldPlan:
                 procs = tuple(sorted(spec.specific_process))
                 self.pair_info.append(("g", pat, procs))
                 w = self.grouped_work.setdefault(
-                    pat, {"crgx": re.compile(pat, re.ASCII), "procs": set(), "ks": []}
+                    pat, {**_compiled_work(pat), "procs": set(), "ks": []}
                 )
                 w["procs"].update(procs)
                 w["ks"].append(k)
             else:
                 self.pair_info.append(("n", iname, pat))
                 w = self.ngrp_work.setdefault(
-                    (iname, pat), {"crgx": re.compile(pat, re.ASCII), "ks": []}
+                    (iname, pat), {**_compiled_work(pat), "ks": []}
                 )
                 w["ks"].append(k)
+
+
+def _compiled_work(pat: str) -> dict:
+    """Per-unique-pattern kernel plan. The findall_kernel fast path is
+    unsound for patterns that can match the empty string (GlobalReplace
+    and finditer disagree on zero-width advancement) — those keep the
+    pure-finditer path; no linted catalog pattern matches empty."""
+    crgx = re.compile(pat, re.ASCII)
+    return {
+        "crgx": crgx,
+        "can_empty": crgx.search("") is not None,
+    }
 
 
 _PLANS: dict[int, tuple[ConfigSpec, FieldPlan]] = {}
@@ -89,6 +101,38 @@ def field_plan(cfg: ConfigSpec) -> FieldPlan:
 def _finditer_join(crgx: re.Pattern, s: str) -> tuple[int, str]:
     ms = [m.group(0) for m in crgx.finditer(s)]
     return len(ms), "\n".join(ms)
+
+
+_SENT = "\x00"
+
+
+def findall_kernel(sub: pa.Array, pat: str) -> tuple[np.ndarray, pa.ListArray]:
+    """Go FindAllString / Python finditer-group(0) semantics entirely in
+    RE2 C++ kernels: every non-overlapping match of `pat` per string, in
+    scan order, as (counts, list<matches>).
+
+    Mechanism: GlobalReplace each match with NUL + itself + NUL (RE2
+    rewrite "\\0" = the whole match), split on NUL — every odd segment is
+    a match (2n+1 segments for n matches; adjacent matches contribute an
+    empty even segment, preserving the arithmetic). Callers must exclude
+    patterns that can match empty (zero-width advancement differs) and
+    strings containing NUL (sentinel collision) — see _compiled_work /
+    the has_nul guards at the call sites."""
+    if isinstance(sub, pa.ChunkedArray):
+        sub = sub.combine_chunks()
+    marked = pc.replace_substring_regex(sub, pat, replacement=f"{_SENT}\\0{_SENT}")
+    parts = pc.split_pattern(marked, _SENT)
+    if isinstance(parts, pa.ChunkedArray):
+        parts = parts.combine_chunks()
+    offs = parts.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    n_m = ((offs[1:] - offs[:-1]) - 1) // 2
+    starts = np.cumsum(n_m) - n_m
+    total = int(n_m.sum())
+    within = np.arange(total, dtype=np.int64) - np.repeat(starts, n_m)
+    gidx = np.repeat(offs[:-1] + 1, n_m) + 2 * within
+    matches_flat = pc.take(parts.values, pa.array(gidx, pa.int64()))
+    moffs = np.concatenate(([0], np.cumsum(n_m))).astype(np.int32)
+    return n_m, pa.ListArray.from_arrays(pa.array(moffs), matches_flat)
 
 
 def extract_field_columns(
@@ -111,7 +155,19 @@ def extract_field_columns(
     valid = [np.zeros(n, dtype=bool) for _ in range(plan.n_pairs)]
 
     # grouped pairs: one extraction per unique pattern over the UNION of its
-    # issues' eligible lines; per-pair masks select from the shared result
+    # issues' eligible lines; per-pair masks select from the shared result.
+    # The extraction itself is findall_kernel (RE2 C++): Python touches only
+    # rows whose text contains the NUL sentinel, or empty-matching patterns
+    # (profile: the old per-hit-row finditer loop was ~25% of parse wall,
+    # and field patterns like a bare Pid '\\d{4,5}' hit most lines).
+    nul_mask: np.ndarray | None = None
+
+    def nuls() -> np.ndarray:
+        nonlocal nul_mask
+        if nul_mask is None:
+            nul_mask = pc.match_substring(text_pa, _SENT).to_numpy(zero_copy_only=False)
+        return nul_mask
+
     for pat, w in plan.grouped_work.items():
         union = np.zeros(n, dtype=bool)
         for p in w["procs"]:
@@ -121,20 +177,29 @@ def extract_field_columns(
         idx = np.flatnonzero(union)
         if not len(idx):
             continue
-        sub = pc.take(text_pa, pa.array(idx, pa.int64()))
-        hit = pc.match_substring_regex(sub, pat).to_numpy(zero_copy_only=False)
-        hit_idx = idx[np.flatnonzero(hit)]
-        if not len(hit_idx):
-            continue
         pat_n = np.zeros(n, dtype=np.int32)
         pat_j = np.full(n, None, dtype=object)
-        tn = texts_np()
-        crgx = w["crgx"]
-        for i in hit_idx:
-            c, j = _finditer_join(crgx, tn[i])
-            if c:
-                pat_n[i] = c
-                pat_j[i] = j
+        if w["can_empty"]:
+            py_idx = idx
+        else:
+            ker_idx = idx[~nuls()[idx]]
+            py_idx = idx[nuls()[idx]]
+            if len(ker_idx):
+                n_m, lists = findall_kernel(
+                    pc.take(text_pa, pa.array(ker_idx, pa.int64())), pat
+                )
+                joined = pc.binary_join(lists, "\n").to_numpy(zero_copy_only=False)
+                hit = n_m > 0
+                pat_n[ker_idx] = n_m
+                pat_j[ker_idx[hit]] = joined[hit]
+        if len(py_idx):
+            tn = texts_np()
+            crgx = w["crgx"]
+            for i in py_idx:
+                c, j = _finditer_join(crgx, tn[i])
+                if c:
+                    pat_n[i] = c
+                    pat_j[i] = j
         pat_valid = pat_n > 0
         for k in w["ks"]:
             elig = np.zeros(n, dtype=bool)
@@ -149,26 +214,66 @@ def extract_field_columns(
 
     # non-grouped pairs: subjects are the issue's match substrings, hits
     # joined flat in (match_pos, hit) order — identical to the old
-    # per-subject join since zero-hit subjects contribute nothing
+    # per-subject join since zero-hit subjects contribute nothing.
+    # Kernel path: the field pattern runs over the FLAT substring array in
+    # RE2 (count + first-match extract); Python finditer only on
+    # multi-hit substrings; the per-row join of non-empty per-substring
+    # results is a binary_join over a rebuilt list array.
+    flat_cache: dict[str, tuple[pa.Array, bool]] = {}
     for (iname, _pat), w in plan.ngrp_work.items():
         ent = ngrp_matches.get(iname)
         if ent is None:
             continue
         counts, values = ent
-        idx = np.flatnonzero(counts)
-        if not len(idx):
+        if not len(values):
             continue
-        offsets = np.concatenate(([0], np.cumsum(counts)))
-        crgx = w["crgx"]
-        for i in idx:
-            hits: list[str] = []
-            for s in values[offsets[i]:offsets[i + 1]]:
-                hits.extend(m.group(0) for m in crgx.finditer(s))
-            if hits:
-                for k in w["ks"]:
-                    n_cols[k][i] = len(hits)
-                    j_cols[k][i] = "\n".join(hits)
-                    valid[k][i] = True
+        offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int64)
+        flat_nul = None
+        if not w["can_empty"]:
+            ent_f = flat_cache.get(iname)
+            if ent_f is None:
+                flat = (
+                    values
+                    if isinstance(values, pa.Array)
+                    else pa.array(values, pa.string())
+                )
+                flat_nul = bool(pc.any(pc.match_substring(flat, _SENT)).as_py())
+                ent_f = flat_cache[iname] = (flat, flat_nul)
+            flat, flat_nul = ent_f
+        if w["can_empty"] or flat_nul:
+            vals_py = values.to_pylist() if isinstance(values, pa.Array) else values
+            crgx = w["crgx"]
+            for i in np.flatnonzero(counts):
+                hits: list[str] = []
+                for s in vals_py[offsets[i]:offsets[i + 1]]:
+                    hits.extend(m.group(0) for m in crgx.finditer(s))
+                if hits:
+                    for k in w["ks"]:
+                        n_cols[k][i] = len(hits)
+                        j_cols[k][i] = "\n".join(hits)
+                        valid[k][i] = True
+            continue
+        n_f, lists = findall_kernel(flat, w["crgx"].pattern)
+        if not n_f.any():
+            continue
+        j_subs = pc.binary_join(lists, "\n").to_numpy(zero_copy_only=False)
+        # per-row totals + ordered join of the hit substrings' results
+        ccum = np.concatenate(([0], np.cumsum(n_f))).astype(np.int64)
+        row_n = ccum[offsets[1:]] - ccum[offsets[:-1]]
+        nz = n_f > 0
+        zcum = np.concatenate(([0], np.cumsum(nz))).astype(np.int64)
+        row_nz = zcum[offsets[1:]] - zcum[offsets[:-1]]
+        sel = j_subs[nz]
+        off2 = np.concatenate(([0], np.cumsum(row_nz))).astype(np.int32)
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(off2), pa.array(sel, pa.string())),
+            "\n",
+        ).to_numpy(zero_copy_only=False)
+        rows_hit = np.flatnonzero(row_n)
+        for k in w["ks"]:
+            n_cols[k][rows_hit] = row_n[rows_hit]
+            j_cols[k][rows_hit] = joined[rows_hit]
+            valid[k][rows_hit] = True
 
     out = []
     for k in range(plan.n_pairs):

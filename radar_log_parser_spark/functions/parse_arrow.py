@@ -30,8 +30,41 @@ from radar_log_parser_spark.config import (
     ConfigSpec,
     severity_pattern,
 )
-from radar_log_parser_spark.functions.fieldex import extract_field_columns, field_plan
+from radar_log_parser_spark.functions.fieldex import (
+    _SENT,
+    extract_field_columns,
+    field_plan,
+    findall_kernel,
+)
 from radar_log_parser_spark.functions.schema import parsed_arrow_schema
+
+
+_LINEWRAP = re.compile(r"^\(\?m\)\^\.\*(.+)\.\*\$$", re.DOTALL)
+
+
+def literal_line_pattern(pat: str) -> str | None:
+    """The needle when `pat` is exactly the full-line-containment idiom
+    `(?m)^.*LITERAL.*$` (the shape radar configs use for process/event/issue
+    patterns — reference YAMLs per extractFiles.go:40-68), else None.
+
+    For such patterns, matching is LITERAL SUBSTRING CONTAINMENT: a needle
+    without '\\n' cannot span lines, so `some line contains needle` ⇔ the
+    wrapped regex matches — letting the scan run in Arrow's
+    match_substring (SIMD substring search) instead of RE2. Go's regexp
+    applies the same class of literal-prefilter rewrites internally; here
+    the whole pattern collapses."""
+    m = _LINEWRAP.match(pat)
+    if m is None:
+        return None
+    inner = m.group(1)
+    # literal = free of regex metacharacters (re.escape is too strict a
+    # test: it escapes plain spaces on 3.11+)
+    if not inner or "\n" in inner or any(c in _RGX_META for c in inner):
+        return None
+    return inner
+
+
+_RGX_META = set("\\.^$*+?{}[]()|")
 
 
 class ArrowCompiledConfig:
@@ -47,7 +80,13 @@ class ArrowCompiledConfig:
         # default would extract MORE matches than RE2 flagged on non-ASCII
         # content (ADVICE r3)
         self.ngrp = sorted(
-            (n, s.regex, re.compile(s.regex, re.ASCII))
+            (
+                n,
+                s.regex,
+                re.compile(s.regex, re.ASCII),
+                re.compile(s.regex, re.ASCII).search("") is not None,
+                literal_line_pattern(s.regex),
+            )
             for n, s in cfg.issues.items()
             if not s.grouped and s.regex
         )
@@ -106,18 +145,33 @@ def decode_tokens(tokens: pa.Array, vocab_pa: pa.Array) -> pa.Array:
 
 
 def _name_masks(text: pa.Array, patterns) -> dict[str, np.ndarray]:
-    return {
-        name: pc.match_substring_regex(text, pat).to_numpy(zero_copy_only=False)
-        for name, pat in patterns
-    }
+    out: dict[str, np.ndarray] = {}
+    for name, pat in patterns:
+        lit = literal_line_pattern(pat)
+        hit = (
+            pc.match_substring(text, lit)
+            if lit is not None
+            else pc.match_substring_regex(text, pat)
+        )
+        out[name] = hit.to_numpy(zero_copy_only=False)
+    return out
 
 
 def _lists_from_masks(masks: dict[str, np.ndarray], patterns, n: int) -> pa.Array:
-    out: list[list[str]] = [[] for _ in range(n)]
-    for name, _pat in patterns:
-        for i in np.flatnonzero(masks[name]):
-            out[i].append(name)
-    return pa.array(out, pa.list_(pa.string()))
+    """Per-row name lists in pattern order, built without per-row Python:
+    row-major nonzero of the (n, P) hit matrix IS the (row, pattern-order)
+    flattening the old append loop produced."""
+    names = [name for name, _pat in patterns]
+    if not names:
+        return pa.ListArray.from_arrays(
+            pa.array(np.zeros(n + 1, dtype=np.int32)), pa.array([], pa.string())
+        )
+    m = np.column_stack([masks[nm] for nm in names])
+    counts = m.sum(axis=1)
+    _rows, pat_idx = np.nonzero(m)
+    values = np.array(names, dtype=object)[pat_idx]
+    offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int32)
+    return pa.ListArray.from_arrays(pa.array(offsets), pa.array(values, pa.string()))
 
 
 def _name_lists(text: pa.Array, patterns, n: int) -> pa.Array:
@@ -161,50 +215,107 @@ def match_batch_arrow(batch: pa.RecordBatch, cfg: ConfigSpec, vocab_pa: pa.Array
         _name_lists(text, cc.events, n),
     ]
 
-    # severity, platform(=source)-dependent → parallel (levels, counts)
+    # severity, platform(=source)-dependent → parallel (levels, counts).
+    # Entry arrays are accumulated per platform pass and stable-sorted by
+    # row at the end: platforms partition the rows (source is single-valued
+    # per row) and within a platform entries are appended in sorted-letter
+    # order, so the stable sort reproduces the reference's per-row order
+    # without any per-row Python.
     sev_counts = np.zeros(n, dtype=np.int64)
-    sev_vals: list[list] = [[] for _ in range(n)]  # (level, count) per row
+    ent_rows: list[np.ndarray] = []
+    ent_levels: list[np.ndarray] = []
+    ent_cnts: list[np.ndarray] = []
     src_np = source.to_numpy(zero_copy_only=False)
-    for platform in sorted({p for p in np.unique(src_np) if p in cc.sev}):
+    present = set(pc.unique(source).to_pylist())
+    for platform in sorted(p for p in present if p in cc.sev):
         conf = cc.sev[platform]
         on_plat = src_np == platform
         if conf["mode"] == "extract":
             ext = pc.extract_regex(text, conf["pattern"])
             valid = ext.is_valid().to_numpy(zero_copy_only=False)
             letters = ext.field(0).to_numpy(zero_copy_only=False)
-            lmap = conf["letters"]
-            for i in np.flatnonzero(valid & on_plat):
-                sev_vals[i].append((lmap[letters[i]], 1))
-                sev_counts[i] += 1
+            idx = np.flatnonzero(valid & on_plat)
+            if len(idx):
+                lev = np.empty(len(idx), dtype=object)
+                lsub = letters[idx]
+                for letter, lv in sorted(conf["letters"].items()):
+                    lev[lsub == letter] = lv
+                ent_rows.append(idx)
+                ent_levels.append(lev)
+                ent_cnts.append(np.ones(len(idx), dtype=np.int64))
+                sev_counts[idx] += 1
         else:
             for letter, lv in sorted(conf["letters"].items()):
                 counts = pc.count_substring(text, letter).to_numpy(zero_copy_only=False)
-                for i in np.flatnonzero((counts > 0) & on_plat):
-                    sev_vals[i].append((lv, int(counts[i])))
-                    sev_counts[i] += 1
-    flat_levels = [lv for row in sev_vals for lv, _ in row]
-    flat_counts = [c for row in sev_vals for _, c in row]
+                rows_l = np.flatnonzero((counts > 0) & on_plat)
+                if len(rows_l):
+                    ent_rows.append(rows_l)
+                    ent_levels.append(np.full(len(rows_l), lv, dtype=object))
+                    ent_cnts.append(counts[rows_l])
+                    sev_counts[rows_l] += 1
+    if ent_rows:
+        ar = np.concatenate(ent_rows)
+        order = np.argsort(ar, kind="stable")
+        flat_levels = np.concatenate(ent_levels)[order]
+        flat_counts = np.concatenate(ent_cnts)[order]
+    else:
+        flat_levels, flat_counts = [], []
     cols.append(_list_array(sev_counts, flat_levels, pa.string()))
     cols.append(_list_array(sev_counts, flat_counts, pa.int32()))
 
-    # non-grouped issues: RE2 prefilter; Python finditer on hit rows only
-    # (FindAllString semantics: ALL match substrings per row, in order).
-    # counts+values retained per issue: the field extraction below scans
-    # these exact substrings as its non-grouped subjects
-    ngrp_matches: dict[str, tuple[np.ndarray, list[str]]] = {}
-    for iname, pat, crgx in cc.ngrp:
-        counts = np.zeros(n, dtype=np.int64)
-        values: list[str] = []
-        hits = pc.match_substring_regex(text, pat).to_numpy(zero_copy_only=False)
-        idx = np.flatnonzero(hits)
-        if len(idx):
-            tn = texts()
-            for i in idx:
-                ms = [m.group(0) for m in crgx.finditer(tn[i])]
-                counts[i] = len(ms)
-                values.extend(ms)
-        ngrp_matches[iname] = (counts, values)
-        cols.append(_list_array(counts, values, pa.string()))
+    # non-grouped issues (FindAllString semantics: ALL match substrings per
+    # row, in order) — findall_kernel keeps the whole extraction in RE2
+    # C++; Python finditer only for empty-matching patterns or batches
+    # whose text contains the NUL sentinel. counts+values retained per
+    # issue: the field extraction below scans these exact substrings as
+    # its non-grouped subjects.
+    batch_nul: bool | None = None
+
+    def has_nul() -> bool:
+        nonlocal batch_nul
+        if batch_nul is None:
+            batch_nul = bool(
+                pc.any(pc.match_substring(text, _SENT)).as_py()
+            )
+        return batch_nul
+
+    batch_newline: bool | None = None
+
+    def has_newline() -> bool:
+        nonlocal batch_newline
+        if batch_newline is None:
+            batch_newline = bool(pc.any(pc.match_substring(text, "\n")).as_py())
+        return batch_newline
+
+    ngrp_matches: dict[str, tuple[np.ndarray, object]] = {}
+    for iname, pat, crgx, can_empty, lit in cc.ngrp:
+        if lit is not None and not has_newline():
+            # full-line-containment idiom on one-line rows: at most one
+            # match and it is the WHOLE row — containment mask + filter,
+            # no regex at all
+            hit = pc.match_substring(text, lit)
+            counts = hit.to_numpy(zero_copy_only=False).astype(np.int64)
+            offs = np.concatenate(([0], np.cumsum(counts))).astype(np.int32)
+            lists = pa.ListArray.from_arrays(pa.array(offs), pc.filter(text, hit))
+            ngrp_matches[iname] = (counts, lists.values)
+            cols.append(lists)
+        elif can_empty or has_nul():
+            counts = np.zeros(n, dtype=np.int64)
+            values: list[str] = []
+            hits = pc.match_substring_regex(text, pat).to_numpy(zero_copy_only=False)
+            idx = np.flatnonzero(hits)
+            if len(idx):
+                tn = texts()
+                for i in idx:
+                    ms = [m.group(0) for m in crgx.finditer(tn[i])]
+                    counts[i] = len(ms)
+                    values.extend(ms)
+            ngrp_matches[iname] = (counts, values)
+            cols.append(_list_array(counts, values, pa.string()))
+        else:
+            counts, lists = findall_kernel(text, pat)
+            ngrp_matches[iname] = (counts, lists.values)
+            cols.append(lists)
 
     # grouped issues: first-match capture tuple per row (Go
     # FindStringSubmatch); Arrow extract_regex when all groups are named
@@ -221,8 +332,8 @@ def match_batch_arrow(batch: pa.RecordBatch, cfg: ConfigSpec, vocab_pa: pa.Array
                     for g in range(crgx.groups)
                 ]
                 counts[idx] = crgx.groups
-                for i in idx:
-                    values.extend(f[i] for f in fields)
+                # row-major (row, group) flattening, no per-row Python
+                values = np.stack(fields, axis=1)[idx].ravel()
         else:
             hits = pc.match_substring_regex(text, pat).to_numpy(zero_copy_only=False)
             idx = np.flatnonzero(hits)

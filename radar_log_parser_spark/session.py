@@ -44,6 +44,17 @@ def get_spark(
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "64m")
+        # collect_list/collect_set aggregations run in
+        # ObjectHashAggregateExec, whose default in-memory key budget
+        # (fallbackThreshold=128 distinct keys per task) silently degrades
+        # the whole aggregation to SORT-based once crossed — the fused
+        # summary's level-1 grain (issue × proc_rank × line_bucket) sits
+        # right at that boundary, so tasks flip between hash and full-sort
+        # plans run-to-run. The per-key buffers here are bounded (a few
+        # joined strings per pair), so a generous key budget is safe and
+        # keeps the agg hash-based at any corpus size (keys/task stays
+        # O(issues × buckets/task), independent of total rows).
+        .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
