@@ -352,7 +352,24 @@ def _calibrate_host_mem(n: int, n4: int) -> float:
             p.map(_mem_burn, [reps] * procs)
             return procs * reps / (time.monotonic() - t0)
 
-    return thr(n4) / thr(n)
+    # ORDER-BIAS FIX (discovered 2026-08-18, r5c): the original one-shot
+    # `thr(n4) / thr(n)` measured the 4N leg COLD — first-touch page
+    # faults plus page-cache reclaim pressure left by the preceding Spark
+    # legs — and the N leg warm. Reproduced on this host: back-to-back
+    # probe calls climbed 29 → 91 → 287 agg-units at 4 procs (10×
+    # warm-up), so the cold-first ratio collapsed to ~0.13 regardless of
+    # actual host state; every host_mem_ratio recorded before this fix is
+    # unattributable. Fix: pay the warm-up untimed, then ALTERNATE the
+    # levels and take best-of-3 per level — a ceiling estimate immune to
+    # both the warm-up ramp and monotone drift during the probe.
+    thr(n)
+    thr(n4)
+    ts_n: list[float] = []
+    ts_n4: list[float] = []
+    for _ in range(3):
+        ts_n4.append(thr(n4))
+        ts_n.append(thr(n))
+    return max(ts_n4) / max(ts_n)
 
 
 def _cpu_burn(n: int) -> str:
