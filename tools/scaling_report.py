@@ -256,7 +256,9 @@ def main() -> None:
         "sink job submitted to one shared pool the moment its inputs "
         "materialize, fused summary (the straggler) first in its tier "
         "(LPT); and — NEW in this campaign's population (commits "
-        "30be086/604a204) — PARSE-TIME per-line field extraction "
+        "30be086/604a204/dbdc6a7, the last measured as uncommitted "
+        "working-tree state in the two r5c rounds and committed verbatim "
+        "before r5d) — PARSE-TIME per-line field extraction "
         "(functions/fieldex.py): the summary's 13 (issue, field) regexes, "
         "previously re-run per scoped subject row INSIDE the fan-out "
         "window (measured 75-85% of the summary job's wall, in the worst-"
@@ -264,8 +266,12 @@ def main() -> None:
         "embarrassingly-parallel parse pass; the fused summary became a "
         "pure line-grain aggregation and the slim blocks carry sparse "
         "hit structs + three match scalars instead of full text and "
-        "every match substring. Rounds measured under EARLIER populations "
-        "are reported separately (prior-campaign section).",
+        "every match substring; dbdc6a7 additionally moved the remaining "
+        "per-hit-row Python finditer loops into RE2 C++ kernels "
+        "(NUL-sentinel GlobalReplace + split = FindAllString semantics) "
+        "and vectorized the severity/capture flattening. Rounds measured "
+        "under EARLIER populations are reported separately "
+        "(prior-campaign section).",
         "",
         f"| round | cpu-clean | pre-reg clean | wall@N={N} (s) | wall@4N={N4} (s) | thr@N (seq/s) | thr@4N (seq/s) | efficiency | host CPU ×/4.0 | host DRAM ×/4.0 | eff/CPU-ceiling | eff/DRAM-ceiling |",
         "|---|---|---|---|---|---|---|---|---|---|---|---|",
