@@ -28,9 +28,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _specs() -> list:
     specs = list(logquery.SPECS)
-    from radar_log_parser_spark.operators import dedup, media, similarity, textops
+    from radar_log_parser_spark.operators import (
+        dedup,
+        llmprep,
+        media,
+        similarity,
+        textops,
+    )
 
-    specs += dedup.SPECS + similarity.SPECS + textops.SPECS + media.SPECS
+    specs += (
+        dedup.SPECS + similarity.SPECS + textops.SPECS + media.SPECS
+        + llmprep.SPECS
+    )
     return specs
 
 

@@ -38,6 +38,8 @@ HEADLINERS = [
     "dedup_simhash", "dedup_simhash_md5",
     "dedup_embedding_lsh", "ann_topk_cosine", "ann_ivf_topk",
     "lang_id", "quality_score", "token_count", "doc_fingerprint", "media_meta",
+    "pack_sequences", "contamination_check", "stratified_sample",
+    "pii_redact", "repetition_score",
 ]
 
 
