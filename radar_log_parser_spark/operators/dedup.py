@@ -27,18 +27,23 @@ COSINE_THRESHOLD = 0.45
 
 def shingles_col(text_col: str = "text"):
     """Distinct 3-word shingles of a document — identical construction to
-    the DuckDB oracle (split on single space, windows of 3, dedup)."""
+    the DuckDB oracle (split on single space, windows of 3, dedup).
+
+    Built from three ROW-LEVEL slices of one split, zipped — not
+    element_at(split(text), i) inside the transform lambda: expressions
+    under a lambda are re-evaluated per ELEMENT (no CSE in interpreted
+    higher-order functions), so the lambda form re-split the text
+    3×O(shingles) times per evaluation — and Catalyst's
+    InferFiltersFromGenerate clones the whole expression into size()>0 /
+    isnotnull() filters under every explode, tripling it again (measured
+    ~30× total on the contamination scan)."""
     ws = F.split(F.col(text_col), " ")
+    n = F.greatest(F.size(ws) - 2, F.lit(0))
+    z = F.arrays_zip(
+        F.slice(ws, 1, n), F.slice(ws, 2, n), F.slice(ws, 3, n)
+    )
     return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(ws) - 3),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(ws, i + 1),
-                F.element_at(ws, i + 2),
-                F.element_at(ws, i + 3),
-            ),
-        )
+        F.transform(z, lambda s: F.concat_ws(" ", s["0"], s["1"], s["2"]))
     )
 
 
