@@ -36,7 +36,7 @@ HEADLINERS = [
     "context_segments", "window_rollup", "priority_summary",
     "dedup_exact", "dedup_minhash_lsh", "dedup_minhash_lsh_md5",
     "dedup_simhash", "dedup_simhash_md5",
-    "dedup_embedding_lsh", "ann_topk_cosine", "ann_ivf_topk",
+    "dedup_embedding_lsh", "dedup_cluster", "ann_topk_cosine", "ann_ivf_topk",
     "lang_id", "quality_score", "token_count", "doc_fingerprint", "media_meta",
     "pack_sequences", "contamination_check", "stratified_sample",
     "pii_redact", "repetition_score",

@@ -685,6 +685,114 @@ WHERE round(list_sum(list_transform(list_zip(ea.embedding, eb.embedding),
 Q_DEDUP_EMBEDDING_LSH_SQL = _emb_lsh_sql()
 
 
+# --- near-dup clustering: connected components over the LSH pair graph ------
+CLUSTER_MAX_ITERS = 25
+
+
+def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-components clustering over the verified near-dup pair
+    graph: every document labeled with its cluster representative (the min
+    doc_id reachable via near-dup edges), the cluster size, and a canonical
+    flag — the step that turns pair emission into an actual keep/drop
+    decision in a dedup pipeline (keep ``is_canonical``, drop the rest).
+    This mirrors how the reference collapses repeated issues into ONE
+    grouped report row (report/report.go grouped-issues section) — here
+    generalized to transitive near-dup groups over documents.
+
+    Edges are the md5 MinHash+LSH verified pairs (the oracle-checkable
+    scale path, q_dedup_minhash_lsh_md5); docs with <3 words carry no
+    shingles, hence no edges, and are singleton clusters by construction.
+
+    Scale design: iterative min-label propagation —
+    label(v) <- min(label(v), min of neighbors' labels) — the standard
+    DataFrame-only connected components (no graph library dependency).
+    Each round is ONE equi-join + ONE map-side-combinable min-groupBy,
+    shuffling narrow (long,long) rows of size O(V+E), and converges in
+    O(cluster diameter) rounds. Near-dup clusters are near-cliques (LSH
+    bands fire on most dup-pair combinations), so diameter is small in
+    practice; a pathological chain is bounded by CLUSTER_MAX_ITERS with a
+    loud failure, and the large-star/small-star variant (O(log n) rounds
+    adversarially) is the documented upgrade path if a corpus trips it.
+    Labels are localCheckpoint-ed each round so lineage stays O(1) deep
+    instead of O(iterations); the convergence probe is a LIMIT-1 count on
+    the changed-label anti-condition join (a driver-side scalar per round,
+    never a collect of data)."""
+    from pyspark import StorageLevel
+
+    docs = _docs(spark, sf_dir)
+    pairs = q_dedup_minhash_lsh_md5(spark, sf_dir).select("a_id", "b_id")
+    edges = (
+        pairs.union(pairs.select("b_id", "a_id"))
+        .toDF("u", "v")
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = docs.select(
+        F.col("doc_id").cast("long").alias("u"),
+        F.col("doc_id").cast("long").alias("cluster_id"),
+    ).localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
+    for _ in range(CLUSTER_MAX_ITERS):
+        nb = edges.join(
+            labels.select(F.col("u").alias("v"), "cluster_id"), "v"
+        ).select("u", "cluster_id")
+        new = (
+            labels.union(nb)
+            .groupBy("u")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint(
+                eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+            )
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "u")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"dedup_cluster: no convergence in {CLUSTER_MAX_ITERS} rounds — "
+            "pathological near-dup chain; switch to large-star/small-star"
+        )
+    sz = labels.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    return labels.join(sz, "cluster_id").select(
+        F.col("u").alias("doc_id"),
+        "cluster_id",
+        "cluster_size",
+        (F.col("u") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
+Q_DEDUP_CLUSTER_SQL = f"""
+WITH RECURSIVE
+pairs AS ({Q_DEDUP_MINHASH_LSH_MD5_SQL}),
+edges AS (
+  SELECT a_id AS u, b_id AS v FROM pairs
+  UNION ALL
+  SELECT b_id AS u, a_id AS v FROM pairs
+),
+nodes AS (SELECT CAST(doc_id AS BIGINT) AS u FROM documents),
+reach(u, v) AS (
+  SELECT u, u FROM nodes
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+lab AS (SELECT u, min(v) AS cluster_id FROM reach GROUP BY u),
+sz AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM lab GROUP BY cluster_id
+)
+SELECT l.u AS doc_id, l.cluster_id, s.cluster_size,
+       l.u = l.cluster_id AS is_canonical
+FROM lab l JOIN sz s USING (cluster_id)
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("dedup_exact", "exact dedup via hash-groupBy",
               q_dedup_exact, Q_DEDUP_EXACT_SQL),
@@ -706,4 +814,7 @@ SPECS: list[QuerySpec] = [
     QuerySpec("dedup_embedding_lsh", "random-hyperplane LSH near-dup scale "
               "path (deterministic planes, full oracle)",
               q_dedup_embedding_lsh, Q_DEDUP_EMBEDDING_LSH_SQL),
+    QuerySpec("dedup_cluster", "connected components over the LSH near-dup "
+              "pair graph: cluster id + size + canonical keep/drop flag",
+              q_dedup_cluster, Q_DEDUP_CLUSTER_SQL),
 ]

@@ -84,3 +84,29 @@ def test_media_feature_extraction(spark):
         assert 0 <= r["byte_entropy_milli"] <= 8000
     with pytest.raises(NotImplementedError):
         media.decode_image(b"\x89PNG")
+
+
+def test_dedup_cluster_invariants(spark):
+    """Connected-components correctness without re-deriving components in
+    the test: (1) every verified near-dup pair shares a cluster, (2) each
+    cluster's id is its min member (so labels are canonical, not arbitrary),
+    (3) sizes partition the corpus, (4) exactly one canonical row per
+    cluster. Value-level parity vs the recursive-CTE oracle is covered by
+    check_entry / CORRECTNESS."""
+    from radar_log_parser_spark.operators import dedup
+
+    rows = dedup.q_dedup_cluster(spark, SF_DIR).collect()
+    label = {r["doc_id"]: r["cluster_id"] for r in rows}
+    pairs = dedup.q_dedup_minhash_lsh_md5(spark, SF_DIR).collect()
+    assert pairs, "fixture should contain planted near-dup pairs"
+    for p in pairs:
+        assert label[p["a_id"]] == label[p["b_id"]]
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    assert sum(len(v) for v in by_cluster.values()) == len(rows)
+    for cid, members in by_cluster.items():
+        assert cid == min(m["doc_id"] for m in members)
+        assert sum(m["is_canonical"] for m in members) == 1
+        assert all(m["cluster_size"] == len(members) for m in members)
+    assert any(len(v) > 1 for v in by_cluster.values())
