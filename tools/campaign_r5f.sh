@@ -27,8 +27,9 @@ cd /root/repo
 RAW=BENCH/r5f_raw
 LOAD_MAX=${LOAD_MAX:-1.5}
 CHUNKS=${CHUNKS:-8}
+START=${START:-1}   # resume numbering after an interrupted run
 mkdir -p "$RAW"
-for chunk in $(seq 1 "$CHUNKS"); do
+for chunk in $(seq "$START" "$CHUNKS"); do
   # wait for a quiet window (up to ~50 min per chunk, then run anyway so
   # a permanently-loaded box still accumulates evidence)
   for attempt in $(seq 1 10); do
