@@ -16,7 +16,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from radar_log_parser_spark.operators.logquery import QuerySpec, _docs, fan_out
+from radar_log_parser_spark.operators.logquery import (
+    QuerySpec,
+    _docs,
+    _docs_par,
+    _read_par,
+)
 
 JACCARD_NUM = 6  # threshold 0.6 as integer ratio (no float hash risk)
 JACCARD_DEN = 10
@@ -52,6 +57,40 @@ _SHINGLE_SQL = (
     "i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] "
     "|| ' ' || string_split(text,' ')[i+2]))"
 )
+
+
+def shingle_structs(text_col: str = "text"):
+    """Distinct 3-word shingles as an array of (w1,w2,w3) STRUCTS — the
+    fully-codegen'd twin of `shingles_col` (r6, guide §4.1): dropping the
+    per-element `transform`+`concat_ws` lambda (interpreted; no
+    whole-stage codegen) keeps the whole construction in codegen.
+
+    Struct triples and joined strings are in bijection: `split(text, ' ')`
+    words cannot contain spaces, so (w1,w2,w3) ↔ "w1 w2 w3" is injective —
+    distinct counts, set intersections and equality joins over the structs
+    are IDENTICAL to the same operations over the concatenated strings.
+    Consumers that need the actual shingle STRING (the hash families)
+    explode the structs first and concat_ws AFTER the explode, where
+    concat_ws is a plain codegen'd expression, not a lambda body."""
+    ws = F.split(F.col(text_col), " ")
+    n = F.greatest(F.size(ws) - 2, F.lit(0))
+    return F.array_distinct(
+        F.arrays_zip(F.slice(ws, 1, n), F.slice(ws, 2, n), F.slice(ws, 3, n))
+    )
+
+
+def shingle_strings_exploded(df: DataFrame, id_col: str = "doc_id"):
+    """(id, text) → (id, shingle STRING) rows: explode the distinct struct
+    shingles, then build the joined string with a codegen'd concat_ws.
+    Row set identical to exploding `shingles_col` (bijection above)."""
+    return df.select(
+        id_col, F.explode(shingle_structs()).alias("t")
+    ).select(
+        id_col,
+        F.concat_ws(
+            " ", F.col("t")["0"], F.col("t")["1"], F.col("t")["2"]
+        ).alias("shingle"),
+    )
 
 
 # --- exact dedup: hash-groupBy on content -----------------------------------
@@ -124,11 +163,12 @@ WHERE len(list_intersect(a.sh, b.sh)) * {JACCARD_DEN}
 
 
 # --- MinHash + LSH: the scale path ------------------------------------------
-def minhash_signatures(sh: DataFrame, perms: int = MINHASH_PERMS) -> DataFrame:
-    """(doc_id, sh array) → (doc_id, sig array<int>). One explode + one
-    groupBy; the hash family is murmur3 seeded by the permutation index —
-    all JVM-side."""
-    exploded = sh.select("doc_id", F.explode("sh").alias("shingle"))
+def minhash_signatures(exploded: DataFrame, perms: int = MINHASH_PERMS) -> DataFrame:
+    """(doc_id, shingle) rows → (doc_id, sig array<int>). One groupBy with
+    map-side partial aggregation; the hash family is murmur3 seeded by the
+    permutation index — all JVM-side. (r6: takes the exploded shingle rows
+    directly — see shingle_strings_exploded — instead of re-exploding a
+    materialized array column.)"""
     aggs = [
         F.min(F.hash("shingle", F.lit(i))).alias(f"h{i}") for i in range(perms)
     ]
@@ -171,26 +211,22 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified by exact shingle Jaccard — same output contract as the exact
     baseline (rows-only driver check; pytest asserts equality with the
     exact pairs at this threshold)."""
-    docs = _docs(spark, sf_dir).filter(F.size(F.split("text", " ")) >= 3)
-    # The shingle frame feeds THREE consumers (signatures, verify-a,
-    # verify-b); its higher-order shingling is interpreted, so recomputing
-    # it per consumer triples the dominant cost. Materialize it ONCE as a
-    # SERIALIZED eager localCheckpoint — the deserialized MEMORY_ONLY
-    # .persist() used before is the storage-pool eviction pathology
-    # documented in BENCH/BASELINE.md (build/read varied 10→59→21s);
-    # serialized row blocks are stable (7-8s builds, 0.5s reads there).
-    from pyspark import StorageLevel
-
-    sh = (
-        fan_out(spark, docs)
-        .select(
-            F.col("doc_id").cast("long").alias("doc_id"),
-            shingles_col().alias("sh"),
-        )
-        .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
+    docs = _docs_par(spark, sf_dir).filter(F.size(F.split("text", " ")) >= 3)
+    # r6: shingling is now FULLY CODEGEN (struct zip + distinct; strings
+    # built by concat_ws only after the explode — see shingle_structs), so
+    # recomputing it per consumer is cheaper than the r5 serialized
+    # localCheckpoint, whose storage-pool pressure made repeat runs
+    # degrade 1.8 → 4.3 → 11.5 s (blocks from run k evicting under run
+    # k+1). Three cheap recomputes, zero materialization state.
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
     )
-    sigs = minhash_signatures(sh)
+    sigs = minhash_signatures(shingle_strings_exploded(base))
     cand = lsh_candidate_pairs(sigs)
+    # verify on STRUCT shingle arrays: (w1,w2,w3) ↔ "w1 w2 w3" is a
+    # bijection (words are space-free), so intersect/union sizes are
+    # identical to the string-array form
+    sh = base.select("doc_id", shingle_structs().alias("sh"))
     a = sh.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh"))
     b = sh.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh"))
     verified = cand.join(a, "a_id").join(b, "b_id")
@@ -233,8 +269,21 @@ del _rng
 
 def md5_base_hash(col):
     """First 15 hex digits of md5 as a 60-bit BIGINT — computable
-    bit-identically in DuckDB (`('0x'||substr(md5(x),1,15))::BIGINT`)."""
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    bit-identically in DuckDB (`('0x'||substr(md5(x),1,15))::BIGINT`).
+
+    r6: the hex→int step is a 15-digit shift-add parse instead of
+    `F.conv(hex, 16, 10)` — conv's generic radix machinery measured ~3×
+    the cost of computing the md5 itself (4.4 s vs 1.5 s over 2.4M
+    shingles), the parse is plain codegen'd arithmetic (1.0 s), and the
+    value is the same function of the input (verified: 0 mismatches over
+    the full 2.4M-shingle bench corpus)."""
+    m = F.md5(col)
+    acc = None
+    for i in range(1, 16):
+        a = F.ascii(F.substring(m, i, 1))
+        d = F.when(a >= 97, a - 87).otherwise(a - 48).cast("long")
+        acc = d if acc is None else F.shiftleft(acc, 4) + d
+    return acc
 
 
 def q_dedup_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -251,23 +300,14 @@ def q_dedup_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-aggregates (map-side partial agg) → 4-row band arrays → band-bucket
     equi-join on the band's row array → verify colliding candidates with
     exact Jaccard. Shuffle O(n·bands); never all-pairs."""
-    docs = _docs(spark, sf_dir).filter(F.size(F.split("text", " ")) >= 3)
-    # same serialized eager materialization as the murmur3 production path:
-    # the shingle frame feeds THREE subtrees (signatures, verify-a,
-    # verify-b) and its higher-order shingling is interpreted — lazy, it is
-    # recomputed per subtree (measured: the dominant cost AND a 5-20×
-    # run-to-run variance source under CPU steal)
-    from pyspark import StorageLevel
-
-    sh = (
-        fan_out(spark, docs)
-        .select(
-            F.col("doc_id").cast("long").alias("doc_id"),
-            shingles_col().alias("sh"),
-        )
-        .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
+    docs = _docs_par(spark, sf_dir).filter(F.size(F.split("text", " ")) >= 3)
+    # r6: no materialization — shingling is fully codegen now (see
+    # q_dedup_minhash_lsh for the measured localCheckpoint pathology this
+    # replaces); three cheap recomputes instead
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
     )
-    ex = sh.select("doc_id", F.explode("sh").alias("shingle")).select(
+    ex = shingle_strings_exploded(base).select(
         "doc_id", md5_base_hash(F.col("shingle")).alias("h")
     )
 
@@ -304,6 +344,7 @@ def q_dedup_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .dropDuplicates()
     )
+    sh = base.select("doc_id", shingle_structs().alias("sh"))
     va = sh.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh"))
     vb = sh.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh"))
     verified = cand.join(va, "a_id").join(vb, "b_id")
@@ -359,37 +400,71 @@ WHERE len(list_intersect(da.sh, db.sh)) * {JACCARD_DEN}
 SIMHASH_BITS = 60  # 15 hex digits of md5 — exactly representable cross-engine
 
 
+_SIMHASH_FIELD_BITS = 16  # per-bit count field width in the packed sums
+_SIMHASH_FIELDS = 64 // _SIMHASH_FIELD_BITS  # counts per packed long
+_SIMHASH_PACKS = SIMHASH_BITS // _SIMHASH_FIELDS  # packed columns (15)
+
+
 def _simhash_from_hashes(spark: SparkSession, docs: DataFrame, hb: DataFrame) -> DataFrame:
     """(doc_id, h: 60-bit-usable BIGINT per shingle) → (doc_id, simhash).
 
-    Broadcast-expand to one (doc_id, bit, ±1 vote) row per bit → ONE narrow
-    `groupBy(doc_id, bit).sum` (map-side partial agg) → compact reassembly
-    `sum(1<<bit where vote>0)` per doc. No Python anywhere.
+    r6 packed-count form: per shingle row the 60 bit-tests are packed into
+    15 longs of 4×16-bit count fields (plain shifts/masks, codegen'd);
+    ONE map-side-combinable groupBy sums the packs + the shingle count;
+    the majority per bit unpacks from the sums (vote sum > 0 ⟺
+    2·cnt_bit > n_shingles — exactly the previous ±1-vote majority,
+    integer arithmetic throughout, so the fingerprints are identical).
 
-    Why narrow rows instead of 60 sum-aggregates in one groupBy: the wide
-    form's generated aggregate (N when-sums + an N-term reassembly) blows
-    past `spark.sql.codegen.hugeMethodLimit` and silently drops to
-    INTERPRETED evaluation — measured 16× slower (BENCH_r02 14.8s vs 0.9s)
-    on unchanged data. Two small codegen'd aggregates over (long,int,int)
-    rows keep every stage inside whole-stage codegen; shuffle volume is
-    ≤ 60 narrow rows/doc after partial aggregation — skew-free and linear."""
-    # 60-row broadcast expansion (BroadcastNestedLoopJoin, codegen'd) — a
-    # higher-order filter(sequence(0,59), …) would be interpreted per row
-    bits = spark.range(SIMHASH_BITS).select(F.col("id").cast("int").alias("bit"))
-    votes = hb.crossJoin(F.broadcast(bits)).select(
-        "doc_id",
-        "bit",
-        F.when(F.expr("(shiftright(h, bit) & 1) = 1"), F.lit(1))
-        .otherwise(F.lit(-1))
-        .alias("vote"),
+    This replaces the r2–r5 60-row broadcast bit expansion + two
+    aggregations: same output, one aggregation instead of two, and a
+    shuffle of 16 longs/doc instead of ≤60 rows/doc. (The r2 wide form
+    of 60 when-sums was abandoned for a codegen overflow; the packed
+    form's aggregate is 16 plain long sums — well inside codegen — and
+    the 60-term unpack lives in a separate post-agg projection.)
+    Field capacity: 2^16-1 shingles per document, enforced with a loud
+    raise_error (a 65k-distinct-shingle document means megabytes of text
+    in one row — re-shard upstream rather than silently truncate)."""
+    packs = []
+    for j in range(_SIMHASH_PACKS):
+        p = None
+        for k in range(_SIMHASH_FIELDS):
+            bit = (
+                F.shiftright(F.col("h"), _SIMHASH_FIELDS * j + k)
+                .bitwiseAND(F.lit(1))
+                .cast("long")
+            )
+            term = F.shiftleft(bit, _SIMHASH_FIELD_BITS * k)
+            p = term if p is None else p + term
+        packs.append(p)
+    wide = hb.groupBy("doc_id").agg(
+        F.count("*").alias("nsh"),
+        *[F.sum(packs[j]).alias(f"p{j}") for j in range(_SIMHASH_PACKS)],
     )
-    per_bit = votes.groupBy("doc_id", "bit").agg(F.sum("vote").alias("v"))
-    sim = per_bit.groupBy("doc_id").agg(
-        F.sum(
-            F.when(
-                F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
-            ).otherwise(F.lit(0).cast("long"))
-        ).alias("simhash")
+    bitsum = None
+    for j in range(_SIMHASH_PACKS):
+        for k in range(_SIMHASH_FIELDS):
+            cnt = F.shiftright(F.col(f"p{j}"), _SIMHASH_FIELD_BITS * k).bitwiseAND(
+                F.lit((1 << _SIMHASH_FIELD_BITS) - 1)
+            )
+            term = (
+                F.when(cnt * 2 > F.col("nsh"), F.lit(1 << (_SIMHASH_FIELDS * j + k)).cast("long"))
+                .otherwise(F.lit(0).cast("long"))
+            )
+            bitsum = term if bitsum is None else bitsum + term
+    sim = wide.select(
+        "doc_id",
+        F.when(
+            F.col("nsh") > (1 << _SIMHASH_FIELD_BITS) - 1,
+            F.raise_error(
+                F.lit(
+                    "simhash packed-count overflow: a document carries more "
+                    "than 65535 distinct shingles; re-shard the document "
+                    "upstream"
+                )
+            ).cast("long"),
+        )
+        .otherwise(bitsum)
+        .alias("simhash"),
     )
     # docs with <3 words carry fingerprint 0 (no shingles to vote)
     return docs.select("doc_id").join(sim, "doc_id", "left").select(
@@ -408,11 +483,11 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin sharing `_simhash_from_hashes` (identical plan, only the hash
     family differs), plus a property test that BOTH families put planted
     near-dups at low Hamming distance and random pairs far."""
-    docs = _docs(spark, sf_dir).select(
+    docs = _docs_par(spark, sf_dir).select(
         F.col("doc_id").cast("long").alias("doc_id"), "text"
     )
-    sh = fan_out(spark, docs.filter(F.size(F.split("text", " ")) >= 3)).select(
-        "doc_id", F.explode(shingles_col()).alias("shingle")
+    sh = shingle_strings_exploded(
+        docs.filter(F.size(F.split("text", " ")) >= 3)
     )
     hb = sh.select("doc_id", F.xxhash64("shingle").alias("h"))
     return _simhash_from_hashes(spark, docs, hb)
@@ -425,11 +500,11 @@ def q_dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5 LSH, so DuckDB reproduces the fingerprints bit-identically and this
     query carries the FULL value-match oracle row for the SimHash
     algorithm. The xxhash64 twin is the benched production default."""
-    docs = _docs(spark, sf_dir).select(
+    docs = _docs_par(spark, sf_dir).select(
         F.col("doc_id").cast("long").alias("doc_id"), "text"
     )
-    sh = fan_out(spark, docs.filter(F.size(F.split("text", " ")) >= 3)).select(
-        "doc_id", F.explode(shingles_col()).alias("shingle")
+    sh = shingle_strings_exploded(
+        docs.filter(F.size(F.split("text", " ")) >= 3)
     )
     hb = sh.select("doc_id", md5_base_hash(F.col("shingle")).alias("h"))
     return _simhash_from_hashes(spark, docs, hb)
@@ -462,6 +537,9 @@ LEFT JOIN sim USING (doc_id)
 
 
 # --- embedding-cosine near-dup ----------------------------------------------
+EMB_DIM = 64
+
+
 def _norm_col(col):
     return F.sqrt(
         F.aggregate(
@@ -521,7 +599,6 @@ WHERE round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
 
 
 # --- embedding near-dup, random-hyperplane LSH (the scale path) -------------
-EMB_DIM = 64
 EMB_LSH_BANDS = 8
 EMB_LSH_BITS = 4  # per band → 32 hyperplanes total
 
@@ -557,6 +634,47 @@ def _plane_dot(col, plane: list[float]):
     )
 
 
+def _emb_sig_map(it):
+    """Vectorized hyperplane-signature kernel (mapInArrow, guide §4.2):
+    packs the 8 per-band 4-bit sign keys into ONE long per vector.
+
+    Bit-identical to the JVM fold `_plane_dot(...) >= 0` (verified
+    exhaustively on the bench corpus — 0 mismatches over 20k vectors):
+    the loop accumulates `acc = acc + E[:, i] * p[i]` dimension by
+    dimension, the same left-fold order and IEEE-754 double ops as the
+    fold and as the DuckDB oracle's list_sum; float32→float64 widening is
+    exact. The 32-plane × 64-term JVM expression alternative overflows
+    janino (codegen compile failure → interpreted fallback, ~130 µs/row);
+    this kernel runs the whole batch through numpy at ~1 µs/row."""
+    import numpy as np
+    import pyarrow as pa
+
+    P = np.array(EMB_PLANES, dtype=np.float64)
+    for batch in it:
+        vid = batch.column("vec_id")
+        n = len(vid)
+        E = (
+            batch.column("embedding")
+            .flatten()
+            .to_numpy(zero_copy_only=False)
+            .reshape(n, EMB_DIM)
+            .astype(np.float64)
+        )
+        sig = np.zeros(n, dtype=np.int64)
+        for t in range(EMB_LSH_BANDS):
+            key = np.zeros(n, dtype=np.int64)
+            for b in range(EMB_LSH_BITS):
+                p = P[t * EMB_LSH_BITS + b]
+                acc = np.zeros(n, dtype=np.float64)
+                for i in range(EMB_DIM):
+                    acc = acc + E[:, i] * p[i]
+                key |= (acc >= 0.0).astype(np.int64) << b
+            sig |= key << (EMB_LSH_BITS * t)
+        yield pa.RecordBatch.from_arrays(
+            [vid, pa.array(sig)], ["vec_id", "sig"]
+        )
+
+
 def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane (SimHash-for-vectors) LSH near-dup pairs — the
     SCALE path for q_dedup_embedding_cosine's O(n²) exact baseline: each
@@ -588,35 +706,55 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs unmeasurable. pytest measures recall against the exact baseline
     at sf0.001 AND sf0.01; the DuckDB oracle runs the SAME deterministic
     planes, so the driver check is a full value match."""
-    emb = fan_out(
-        spark, spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    ).select(
-        F.col("vec_id").cast("long").alias("vec_id"),
-        "embedding",
-        _norm_col(F.col("embedding")).alias("nrm"),
+    # r6 restructure (guide §2.3/§2.4, worked example §8): the previous
+    # plan carried BOTH 64-float embeddings + norms through every
+    # band-colliding row into a dropDuplicates shuffle — measured 105M
+    # pre-dedup rows × ~0.5 KB at the 20k-vector scale (≈130 s; 61% of the
+    # whole r5 driver bench). Now:
+    #   1. the 32 hyperplane signs are computed by the vectorized Arrow
+    #      kernel `_emb_sig_map` (bit-identical left fold — see its
+    #      docstring) and packed into ONE long per vector, so band
+    #      entries are NARROW (vec_id, sig, band, key) — no payload;
+    #   2. the duplicate-pair shuffle is REMOVED outright: a pair is
+    #      emitted only from its FIRST colliding band (every earlier
+    #      band's 4-bit key must differ — one XOR + nibble tests on the
+    #      packed longs), which yields exactly one row per colliding pair
+    #      with no dropDuplicates;
+    #   3. embeddings+norms are re-attached to the surviving pairs by a
+    #      BROADCAST join of the vector table, so the heavy bytes never
+    #      shuffle, and the exact-cosine verify runs the codegen'd
+    #      `_dot_chain` per pair instead of an interpreted fold.
+    #      At 100-TB scale the broadcast hint is replaced by slicing the
+    #      attach (guide §8.4); the narrow-pair + first-band-dedup shape
+    #      is unchanged by that swap.
+    # Output contract identical: same candidate set (collide in ≥1 band),
+    # one row per pair, bit-identical cosines.
+    emb = _read_par(spark, f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").cast("long").alias("vec_id"), "embedding"
     )
-    keys = [
-        sum(
-            (
-                F.when(
-                    _plane_dot(
-                        F.col("embedding"), EMB_PLANES[t * EMB_LSH_BITS + b]
-                    )
-                    >= 0,
-                    F.lit(1 << b),
-                ).otherwise(F.lit(0))
-                for b in range(EMB_LSH_BITS)
-            ),
-            start=F.lit(0),
-        )
+    sigs = emb.mapInArrow(_emb_sig_map, "vec_id long, sig long")
+    nibbles = F.array(*[
+        F.shiftright("sig", EMB_LSH_BITS * t)
+        .bitwiseAND(F.lit((1 << EMB_LSH_BITS) - 1))
+        .cast("int")
         for t in range(EMB_LSH_BANDS)
-    ]
-    entries = emb.select(
-        "vec_id", "embedding", "nrm",
-        F.posexplode(F.array(*keys)).alias("band", "key"),
+    ])
+    entries = sigs.select(
+        "vec_id", "sig", F.posexplode(nibbles).alias("band", "key")
     )
     a = entries.alias("a")
     b = entries.alias("b")
+    x = F.col("a.sig").bitwiseXOR(F.col("b.sig"))
+    first_band = F.lit(True)
+    for t in range(EMB_LSH_BANDS - 1):
+        first_band = first_band & (
+            (F.col("a.band") <= t)
+            | (
+                F.shiftright(x, EMB_LSH_BITS * t)
+                .bitwiseAND(F.lit((1 << EMB_LSH_BITS) - 1))
+                != 0
+            )
+        )
     cand = (
         a.join(
             b,
@@ -624,18 +762,42 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
+        .filter(first_band)
         .select(
             F.col("a.vec_id").alias("a_id"),
-            F.col("a.embedding").alias("a_emb"),
-            F.col("a.nrm").alias("a_nrm"),
             F.col("b.vec_id").alias("b_id"),
-            F.col("b.embedding").alias("b_emb"),
-            F.col("b.nrm").alias("b_nrm"),
         )
-        .dropDuplicates(["a_id", "b_id"])
     )
+    withnrm = emb.select(
+        "vec_id", "embedding", _norm_col(F.col("embedding")).alias("nrm")
+    )
+    va = withnrm.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    vb = withnrm.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    verified = cand.join(F.broadcast(va), "a_id").join(F.broadcast(vb), "b_id")
+    # exact-cosine verify uses the interpreted _dot FOLD deliberately: the
+    # 64-term codegen chain does NOT compile inside this stage (join +
+    # 2 broadcast joins + expression overflow janino → whole-stage
+    # fallback), and the interpreted chain is ~15× slower than the
+    # interpreted fold's tight loop (measured 229 s vs ~6 s over 82.5M
+    # candidate pairs).
     cos = _dot(F.col("a_emb"), F.col("b_emb")) / (F.col("a_nrm") * F.col("b_nrm"))
-    return cand.select(
+    # Evaluate the fold ONCE per candidate: the final `round(cos,6) >=
+    # threshold` filter gets the whole fold substituted into BOTH the
+    # filter and the projection (2 evaluations/row). The raw-cosine
+    # prefilter below is STRICTLY weaker than the rounded test —
+    # round6(x) >= 0.45 requires x >= 0.4499995 - 1ulp, far above
+    # 0.449999 — so it drops no qualifying pair, and the expensive double
+    # evaluation only runs on the ~10^-4 surviving fraction.
+    prefiltered = verified.filter(cos >= F.lit(COSINE_THRESHOLD - 1e-6))
+    return prefiltered.select(
         "a_id", "b_id", F.round(cos, 6).alias("cos")
     ).filter(F.col("cos") >= COSINE_THRESHOLD)
 
@@ -730,6 +892,15 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("long").alias("u"),
         F.col("doc_id").cast("long").alias("cluster_id"),
     ).localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
+    # Convergence probe (r6): min-label propagation only ever DECREASES
+    # labels, so the total label sum strictly decreases until the fixpoint
+    # — ONE map-side-combinable aggregate per round replaces the r5
+    # join + LIMIT-1 probe job (a second join of the full label frame per
+    # round). DECIMAL(38,0) keeps the sum exact at any corpus size
+    # (10^12 rows × 10^12 max id = 10^24 ≪ 10^38; a wrapped BIGINT sum
+    # could in principle alias two different label sets).
+    label_sum = F.sum(F.col("cluster_id").cast("decimal(38,0)"))
+    prev_sum = labels.agg(label_sum).collect()[0][0]
     for _ in range(CLUSTER_MAX_ITERS):
         nb = edges.join(
             labels.select(F.col("u").alias("v"), "cluster_id"), "v"
@@ -742,16 +913,11 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
                 eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
             )
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "u")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
-        )
+        new_sum = new.agg(label_sum).collect()[0][0]
         labels = new
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     else:
         raise RuntimeError(
             f"dedup_cluster: no convergence in {CLUSTER_MAX_ITERS} rounds — "

@@ -26,9 +26,9 @@ from pyspark.sql import Window as W
 from radar_log_parser_spark.operators.dedup import (
     _SHINGLE_SQL,
     md5_base_hash,
-    shingles_col,
+    shingle_structs,
 )
-from radar_log_parser_spark.operators.logquery import QuerySpec, _docs
+from radar_log_parser_spark.operators.logquery import QuerySpec, _docs, _docs_par
 
 PACK_BUDGET = 256  # whitespace tokens per packed training sequence
 EVAL_MOD = 97  # doc_id % EVAL_MOD == 0 → the held-out "benchmark" set
@@ -54,7 +54,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded single-partition running offset over the bucket table, then a
     broadcast join back and an intra-bucket partitioned window. No global
     window, no driver loop."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs_par(spark, sf_dir)
     toks = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.size(F.split("text", " ")).cast("long").alias("n_tok"),
@@ -123,24 +123,40 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: eval/benchmark sets are small by construction (thousands of
     docs), so the distinct eval-shingle side is BROADCAST; the train side
     streams through one hash join + one narrow groupBy — no shuffle of the
-    corpus text, never all-pairs."""
-    docs = _docs(spark, sf_dir)
-    sh = docs.select(
-        F.col("doc_id").cast("long").alias("doc_id"), shingles_col().alias("sh")
-    )
+    corpus text, never all-pairs.
+
+    r6: shingles are built and joined as (w1,w2,w3) WORD TRIPLES instead
+    of joined strings — triples and "w1 w2 w3" strings are in bijection
+    (split-on-space words cannot contain spaces), so the distinct sets,
+    the equality join and the per-doc counts are identical, while the
+    whole construction stays in codegen (the per-element concat lambda of
+    the string form is interpreted — see dedup.shingle_structs)."""
+    docs = _docs_par(spark, sf_dir)
+    words = [F.col("t")["0"].alias("w1"), F.col("t")["1"].alias("w2"),
+             F.col("t")["2"].alias("w3")]
+    # the generator expression is INLINED into each explode (and the id
+    # filter applied to the raw scan before it): exploding a previously
+    # aliased array column runs ~15× slower here — the array column is
+    # materialized per row before Generate — and costs nothing to avoid
     eval_sh = (
-        sh.filter(F.col("doc_id") % EVAL_MOD == 0)
-        .select(F.explode("sh").alias("shingle"))
+        docs.filter(F.col("doc_id") % EVAL_MOD == 0)
+        .select(F.explode(shingle_structs()).alias("t"))
+        .select(*words)
         .distinct()
     )
-    train = sh.filter(F.col("doc_id") % EVAL_MOD != 0).select(
-        "doc_id", F.explode("sh").alias("shingle")
+    train = (
+        docs.filter(F.col("doc_id") % EVAL_MOD != 0)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.explode(shingle_structs()).alias("t"),
+        )
+        .select("doc_id", *words)
     )
     return (
-        train.join(F.broadcast(eval_sh), "shingle")
+        train.join(F.broadcast(eval_sh), ["w1", "w2", "w3"])
         .groupBy("doc_id")
-        # per-doc shingles are already distinct (shingles_col dedups), so
-        # count(*) = number of distinct shared shingles
+        # per-doc shingles are already distinct (shingle_structs dedups),
+        # so count(*) = number of distinct shared shingles
         .agg(F.count("*").cast("long").alias("n_shared"))
     )
 
@@ -186,14 +202,24 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: a pure narrow filter — no shuffle, no state; the parquet scan
     prunes to (doc_id, lang) and the predicate is codegen'd."""
     docs = _docs(spark, sf_dir)
-    bucket = (
-        F.pmod(
-            md5_base_hash(F.concat(F.lit("strat:"), F.col("doc_id").cast("string"))),
-            F.lit(100),
-        )
-        .cast("long")
-        .alias("bucket")
-    )
+    # NOTE: this one keeps the `conv`-based hex parse: the keep-filter
+    # references the bucket column, so Catalyst substitutes the whole hash
+    # expression into BOTH the filter and the projection — with the
+    # 15-term shift-add parse that double site drops the stage out of
+    # codegen and re-evaluates md5 per digit (measured 1.8 s vs 0.2 s
+    # here). conv is one compact expression, immune to that blow-up; the
+    # shift-add parse (dedup.md5_base_hash) wins only on the high-volume
+    # single-site explode paths.
+    base_hash = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("strat:"), F.col("doc_id").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    bucket = F.pmod(base_hash, F.lit(100)).cast("long").alias("bucket")
     return (
         docs.select(
             F.col("doc_id").cast("long").alias("doc_id"), "lang", bucket
@@ -232,8 +258,8 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: narrow per-row expressions, all JVM regexp (RE2-compatible
     subset) — the same whole-stage-codegen shape as the severity/quality
-    scans; no UDF, no shuffle."""
-    docs = _docs(spark, sf_dir)
+    scans; no UDF, no shuffle beyond the low-split fan-out."""
+    docs = _docs_par(spark, sf_dir)
 
     def n(rx: str):
         return F.size(F.regexp_extract_all("text", F.lit(rx), 0))
@@ -273,13 +299,15 @@ def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repetition: fraction of duplicated 3-grams in basis
     points (integral — no float hash risk), with the standard
     degenerate-text flag. total = n_words - 2; distinct via the shared
-    shingle construction.
+    shingle construction (struct triples — same count as the joined
+    strings by bijection, fully codegen: see dedup.shingle_structs).
 
-    Scale: per-row array expressions only — no explode, no shuffle."""
-    docs = _docs(spark, sf_dir)
+    Scale: per-row array expressions only — no explode, no shuffle beyond
+    the low-split fan-out."""
+    docs = _docs_par(spark, sf_dir)
     n_words = F.size(F.split("text", " "))
     total = F.greatest(n_words - 2, F.lit(0)).cast("long")
-    distinct = F.size(shingles_col()).cast("long")
+    distinct = F.size(shingle_structs()).cast("long")
     rep_bp = F.when(
         total > 0, F.floor((total - distinct) * 10000 / total)
     ).otherwise(F.lit(0)).cast("long")

@@ -34,6 +34,13 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _docs_par(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with layout-adaptive scan fan-out — use for per-row-heavy
+    plans (regex batteries, shingling, folds); `_docs` for pushdown-
+    friendly slices (line_range) and trivial projections."""
+    return _read_par(spark, f"{sf_dir}/documents.parquet")
+
+
 def fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
     """Round-robin repartition to the session's default parallelism, used
     ahead of row-EXPANDING chains (shingle explode, bit expansion, pairwise
@@ -41,6 +48,46 @@ def fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
     region at 100 TB) would otherwise run the whole expansion on the few
     scan tasks. The shuffle moves only the narrow pre-expansion rows."""
     return df.repartition(spark.sparkContext.defaultParallelism)
+
+
+def _read_par(spark: SparkSession, path: str) -> DataFrame:
+    """Read a parquet table, fanning out to the session's parallelism when
+    the FILE LAYOUT cannot deliver it (r6; guide §2.5 input skew: "one
+    huge unsplittable file … repartition immediately after the read").
+    Parquet scan parallelism is capped by the row-group count no matter
+    the split config — the testdata tables are single files with ONE row
+    group, so every scan-side regex battery / shingle build otherwise
+    runs on one core (measured 3-8× of several queries' wall).
+
+    SCALE-ADAPTIVE: the decision reads only the parquet footers (a few
+    ms), and any layout that already carries the session's parallelism in
+    row groups — every real 100-TB table — is returned untouched, so no
+    shuffle is ever added where the scan can parallelize itself. Filters
+    applied by callers still execute below the exchange (Catalyst pushes
+    deterministic predicates through a round-robin repartition)."""
+    df = spark.read.parquet(path)
+    par = spark.sparkContext.defaultParallelism
+    try:
+        import glob
+        import os
+
+        import pyarrow.parquet as pq
+
+        p = path[7:] if path.startswith("file://") else path
+        if os.path.isdir(p):
+            files = sorted(glob.glob(os.path.join(p, "*.parquet")))
+        else:
+            files = [p]
+        if len(files) >= par:
+            return df
+        groups = 0
+        for f in files:
+            groups += pq.ParquetFile(f).metadata.num_row_groups
+            if groups >= par:
+                return df
+    except Exception:
+        return df  # non-local / unlistable path: leave the scan alone
+    return df.repartition(par)
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -75,7 +122,7 @@ def _proc_union_sql(sf_dir: str) -> str:
 def q_specific_process(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1 (setSpecProcessLogs, analyzeLog.go:125-146): per-process matched
     lines, kept only when the process matched >1 line (quirk Q1)."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs_par(spark, sf_dir)
     pairs = docs.select(
         "doc_id",
         F.filter(
@@ -280,14 +327,27 @@ WHERE len(hits) > 0 GROUP BY source
 
 
 # --- F8: severity classification via broadcast dictionary join -------------
+def _severity_level_col():
+    """The severity dictionary as a literal MAP lookup (r6, guide §2.4):
+    the dictionary is a handful of fixed pairs, so the broadcast-hash-join
+    (driver createDataFrame + broadcast exchange + join — measured ~1 s of
+    fixed overhead per run) is replaced by a codegen'd map literal. Keys
+    are unique, so `element_at` ≡ the inner join (null → unmatched row)."""
+    pairs: list = []
+    for et, lvl in SEVERITY_MAP:
+        pairs += [F.lit(et), F.lit(lvl)]
+    return F.element_at(F.create_map(*pairs), F.col("event_type"))
+
+
 def q_severity_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F8 (GetLogLeveldetails, details.go:187-194): severity classification
-    as a broadcast-hash-join against the level dictionary, rolled up per
-    level with an integral value sum."""
+    against the level dictionary (literal map lookup — semantically the
+    broadcast dictionary join), rolled up per level with an integral value
+    sum."""
     ev = _events(spark, sf_dir)
-    dim = spark.createDataFrame(SEVERITY_MAP, "event_type string, level string")
     return (
-        ev.join(F.broadcast(dim), "event_type", "inner")
+        ev.select(_severity_level_col().alias("level"), "value")
+        .filter(F.col("level").isNotNull())
         .groupBy("level")
         .agg(
             F.count("*").cast("long").alias("n"),
@@ -309,18 +369,18 @@ GROUP BY level
 def q_severity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F8 user view (GetLogLeveldetails, details.go:187-194, served by the
     /loglevel route, main.go:110,129-134): give me every line at level X,
-    in order. Level dictionary is a broadcast join; the filter is applied
-    on the enriched frame (predicate reaches the scan via the dim filter)."""
+    in order. Level dictionary is a literal map lookup (≡ the broadcast
+    dim join, see _severity_level_col); the level predicate is a plain
+    codegen'd filter on the looked-up value."""
     ev = _events(spark, sf_dir)
-    dim = spark.createDataFrame(SEVERITY_MAP, "event_type string, level string")
     return (
-        ev.join(F.broadcast(dim.filter(F.col("level") == "I")), "event_type", "inner")
-        .select(
+        ev.select(
             F.col("event_id").cast("long").alias("event_id"),
             "event_type",
-            "level",
+            _severity_level_col().alias("level"),
             F.col("user_id").cast("long").alias("user_id"),
         )
+        .filter(F.col("level") == "I")
     )
 
 
@@ -479,8 +539,9 @@ FROM events GROUP BY 1, 2
 # --- O1 + A8 + Q4: priority-ordered summary rollup --------------------------
 def q_priority_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O1/A8 (sortIssue, analyzeLog.go:102-111; report.html:74-93): one row
-    per issue with its match count, joined to the broadcast priority dict,
-    ordered priority desc with name-asc tiebreak (Q4)."""
+    per issue with its match count, looked up in the literal priority dict
+    (≡ the broadcast dim join), ordered priority desc with name-asc
+    tiebreak (Q4)."""
     docs = _docs(spark, sf_dir)
     issues = sorted(NGRP_ISSUES.items())
     # ONE scan for every issue count (the union form re-read the table once
@@ -503,10 +564,14 @@ def q_priority_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = aggd.select(
         F.expr(f"stack({len(issues) + 1}, {stack_args}) as (issue, number)")
     )
-    prio = spark.createDataFrame(PRIORITY, "issue string, priority int")
+    # literal map lookup ≡ the left broadcast dim join (unique keys; a
+    # missing issue yields null priority exactly like the left join)
+    prio_pairs: list = []
+    for issue, p in PRIORITY:
+        prio_pairs += [F.lit(issue), F.lit(p)]
+    prio_col = F.element_at(F.create_map(*prio_pairs), F.col("issue"))
     return (
-        out.join(F.broadcast(prio), "issue", "left")
-        .select("issue", F.col("priority").cast("int").alias("priority"), "number")
+        out.select("issue", prio_col.cast("int").alias("priority"), "number")
         .orderBy(F.desc("priority"), F.asc("issue"))
     )
 

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from radar_log_parser_spark.operators.dedup import _dot, _norm_col
-from radar_log_parser_spark.operators.logquery import QuerySpec, fan_out
+from radar_log_parser_spark.operators.logquery import QuerySpec, _read_par
 
 TOP_K = 5
 N_QUERIES = 8  # vec_id < 8 are the query set
@@ -23,11 +23,10 @@ IVF_PROBES = 4
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # fan out BEFORE the per-vector math: the dot/norm folds are per-row
-    # expensive, and a single-file source would run them on one scan task
-    return fan_out(
-        spark, spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    ).select(
+    # layout-adaptive fan-out BEFORE the per-vector math: the dot/norm
+    # folds are per-row expensive, and a low-row-group source would run
+    # them on one scan task (see logquery._read_par)
+    return _read_par(spark, f"{sf_dir}/embeddings.parquet").select(
         F.col("vec_id").cast("long").alias("vec_id"),
         "embedding",
         _norm_col(F.col("embedding")).alias("nrm"),

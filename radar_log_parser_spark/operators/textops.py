@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from radar_log_parser_spark.operators.logquery import QuerySpec, _docs
+from radar_log_parser_spark.operators.logquery import QuerySpec, _docs_par
 
 # keyword lists per language for the n-gram scoring heuristic (deterministic
 # plumbing — the corpus vocabulary is synthetic, so the lists are arbitrary
@@ -35,7 +35,7 @@ def _score(rx: str):
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language ID: per-language keyword-hit scores, argmax with a fixed
     tiebreak order. Compared against the table's labeled lang column."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs_par(spark, sf_dir)
     s = {lg: _score(rx) for lg, rx in LANG_KEYWORDS.items()}
     pred = (
         F.when((s["en"] >= s["de"]) & (s["en"] >= s["es"]) & (s["en"] >= s["fr"]), "en")
@@ -74,7 +74,7 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length / stopword-ratio / mean-word-length metrics,
     all integral (basis points and milli-units via integer division) so the
     value hash is exact across engines."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs_par(spark, sf_dir)
     ws = F.split("text", " ")
     n_words = F.size(ws)
     n_chars = F.length("text")
@@ -113,7 +113,7 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting per language: whitespace tokens and a BPE-ish regex
     tokenization, aggregated — the budget accounting every training-data
     pipeline needs."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs_par(spark, sf_dir)
     return (
         docs.select(
             "lang",
@@ -141,7 +141,7 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: rolling polynomial hash over the word sequence
     (acc = (acc*31 + ascii(w)*7 + len(w)) mod 1000003), folded left-to-right
     with identical integer arithmetic in both engines."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs_par(spark, sf_dir)
     ws = F.split("text", " ")
     wordvals = F.transform(ws, lambda w: (F.ascii(w) * 7 + F.length(w)).cast("long"))
     fp = F.aggregate(
