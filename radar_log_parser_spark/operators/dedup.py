@@ -223,10 +223,15 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sigs = minhash_signatures(shingle_strings_exploded(base))
     cand = lsh_candidate_pairs(sigs)
-    # verify on STRUCT shingle arrays: (w1,w2,w3) ↔ "w1 w2 w3" is a
-    # bijection (words are space-free), so intersect/union sizes are
-    # identical to the string-array form
-    sh = base.select("doc_id", shingle_structs().alias("sh"))
+    # verify on STRING shingle arrays: array_intersect's hash-set kernel
+    # over (w1,w2,w3) STRUCT elements measured 4.3 s min with 27 s GC
+    # outliers vs a stable 1.8-2.0 s over plain strings at the sf1like
+    # scale — struct equality/hashing inside the set build dominates and
+    # allocates heavily. The struct↔string bijection (words are
+    # space-free) makes the inter/uni sizes identical either way, so the
+    # cheaper element type wins; construction cost of shingles_col's
+    # interpreted per-element concat is noise next to the intersect.
+    sh = base.select("doc_id", shingles_col().alias("sh"))
     a = sh.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh"))
     b = sh.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh"))
     verified = cand.join(a, "a_id").join(b, "b_id")
@@ -276,11 +281,26 @@ def md5_base_hash(col):
     the cost of computing the md5 itself (4.4 s vs 1.5 s over 2.4M
     shingles), the parse is plain codegen'd arithmetic (1.0 s), and the
     value is the same function of the input (verified: 0 mismatches over
-    the full 2.4M-shingle bench corpus)."""
-    m = F.md5(col)
+    the full 2.4M-shingle bench corpus).
+
+    High-volume call sites should NOT use this single-expression form:
+    the 15 digit extractions each reference the md5 subexpression, and
+    when the surrounding stage falls out of whole-stage codegen (or CSE
+    does not fire) the md5 is re-evaluated per digit. Project the md5
+    string in its own select first and parse with `_md5_hex15_parse` —
+    CollapseProject refuses to inline a non-cheap expression referenced
+    15×, so the boundary guarantees ONE md5 per row (measured 1.83 s →
+    0.79 s over the 2.6M-shingle sf1like explode)."""
+    return _md5_hex15_parse(F.md5(col))
+
+
+def _md5_hex15_parse(m_col):
+    """Shift-add parse of the first 15 hex digits of an md5 STRING column
+    into a 60-bit BIGINT. Pass an already-projected md5 column (see
+    md5_base_hash docstring) so the md5 evaluates once per row."""
     acc = None
     for i in range(1, 16):
-        a = F.ascii(F.substring(m, i, 1))
+        a = F.ascii(F.substring(m_col, i, 1))
         d = F.when(a >= 97, a - 87).otherwise(a - 48).cast("long")
         acc = d if acc is None else F.shiftleft(acc, 4) + d
     return acc
@@ -307,8 +327,13 @@ def q_dedup_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.select(
         F.col("doc_id").cast("long").alias("doc_id"), "text"
     )
-    ex = shingle_strings_exploded(base).select(
-        "doc_id", md5_base_hash(F.col("shingle")).alias("h")
+    # md5 in its OWN projection, parsed in the next (see md5_base_hash
+    # docstring): the boundary pins one md5 evaluation per shingle —
+    # CollapseProject will not inline a non-cheap expr referenced 15×
+    ex = (
+        shingle_strings_exploded(base)
+        .select("doc_id", F.md5(F.col("shingle")).alias("m"))
+        .select("doc_id", _md5_hex15_parse(F.col("m")).alias("h"))
     )
 
     def perm(i: int):
@@ -344,7 +369,10 @@ def q_dedup_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .dropDuplicates()
     )
-    sh = base.select("doc_id", shingle_structs().alias("sh"))
+    # STRING shingle arrays for the verify — see q_dedup_minhash_lsh: the
+    # struct-element array_intersect measured 2-7× slower with GC-driven
+    # outliers; the string↔struct bijection keeps inter/uni identical.
+    sh = base.select("doc_id", shingles_col().alias("sh"))
     va = sh.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh"))
     vb = sh.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh"))
     verified = cand.join(va, "a_id").join(vb, "b_id")
@@ -506,7 +534,11 @@ def q_dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shingle_strings_exploded(
         docs.filter(F.size(F.split("text", " ")) >= 3)
     )
-    hb = sh.select("doc_id", md5_base_hash(F.col("shingle")).alias("h"))
+    # md5 projected alone, parsed in the next select — one md5/shingle
+    # (see md5_base_hash docstring)
+    hb = sh.select("doc_id", F.md5(F.col("shingle")).alias("m")).select(
+        "doc_id", _md5_hex15_parse(F.col("m")).alias("h")
+    )
     return _simhash_from_hashes(spark, docs, hb)
 
 
@@ -675,6 +707,105 @@ def _emb_sig_map(it):
         )
 
 
+def _emb_bucket_verify_factory(emb_bc, thr: float):
+    """Per-BUCKET pair generation + exact-cosine verify in one vectorized
+    Arrow kernel (groupBy(band, key).applyInArrow; guide §8: every stage
+    but the last operates on a lightweight proxy). The input is the NARROW
+    band-entry table (vec_id, sig, band, key — one (band, key) bucket per
+    call, n·bands rows total across buckets); the ~n²/2^bits-per-bucket
+    candidate pairs are generated AND verified inside numpy, so the pair
+    stream never crosses a serialization boundary at all. (The
+    alternatives both lose: attaching embeddings by broadcast join pushes
+    every pair through an interpreted JVM fold — 18 s at the 82.5M-pair
+    bench scale — and streaming the narrow pairs into a mapInArrow verify
+    pays ~26 s of pure JVM→Arrow boundary for the same rows, measured
+    with a passthrough kernel.) Output is only the prefiltered survivors;
+    round(·,6) + the final threshold stay in Spark expressions.
+
+    The emitted pair set is IDENTICAL to the band equi-join + first-band
+    filter: within a bucket of band t every a<b pair collides by
+    construction, and the kernel keeps a pair only when every earlier
+    band's 4-bit key differs (same XOR + nibble tests on the packed sigs).
+
+    Bit-identity of the cosine (same argument as _emb_sig_map): the dot
+    accumulates `acc = acc + E[:, i] ⊗ E[:, i]` dimension by dimension —
+    the exact left-fold order and IEEE-754 double ops of `_dot`'s
+    F.aggregate and of the DuckDB oracle's list_sum — the norms
+    accumulate the same fold before one correctly-rounded sqrt (np.sqrt ≡
+    Math.sqrt, both IEEE), float32→float64 widening is exact, and
+    cos = acc / (nrm_a * nrm_b) mirrors Divide(dot, Multiply(·,·)).
+
+    Row-blocking bounds kernel memory to ~block×k doubles per bucket (a
+    pathological hot bucket degrades to more blocks, never to a bigger
+    allocation); production sizing keeps buckets bounded via EMB_LSH_BITS
+    ≈ log2(n/β) — see q_dedup_embedding_lsh."""
+    def _verify(tbl):
+        import numpy as np
+        import pyarrow as pa
+
+        empty = pa.table({
+            "a_id": pa.array([], pa.int64()),
+            "b_id": pa.array([], pa.int64()),
+            "cos_raw": pa.array([], pa.float64()),
+        })
+        k = tbl.num_rows
+        if k < 2:
+            return empty
+        ids_s, E = emb_bc.value  # ids_s: SORTED vec_ids; E: (n, d) f64
+        vid = tbl.column("vec_id").to_numpy(zero_copy_only=False)
+        sig = tbl.column("sig").to_numpy(zero_copy_only=False)
+        band = tbl.column("band")[0].as_py()
+        o = np.argsort(vid)  # ascending → upper triangle ⟺ a_id < b_id
+        vid, sig = vid[o], sig[o]
+        Eb = E[np.searchsorted(ids_s, vid)]  # (k, d) gather
+        nrm2 = np.zeros(k, dtype=np.float64)
+        for i in range(Eb.shape[1]):
+            nrm2 = nrm2 + Eb[:, i] * Eb[:, i]
+        nrm = np.sqrt(nrm2)
+        # Blocked upper-triangle fold. Block sizing is the whole game: the
+        # acc/tmp tiles must stay L2-resident through the 64-dim fold —
+        # a 2 MB tile re-written per dimension turns the fold into ~64
+        # full-tile DRAM round-trips (measured 29 s for the whole query);
+        # ~256 KB tiles with in-place accumulation run the same flops out
+        # of cache (~3 s). Sub-diagonal columns are skipped outright
+        # (upper triangle ⟺ a_id < b_id on the sorted vids).
+        out_a: list = []
+        out_b: list = []
+        out_c: list = []
+        nib_mask = (1 << EMB_LSH_BITS) - 1
+        block = max(1, (1 << 15) // k)  # ~256 KB f64 acc tile
+        tmp = np.empty((block, k), dtype=np.float64)
+        for s in range(0, k - 1, block):
+            e = min(s + block, k)
+            c0 = s + 1  # only columns > s can sit above the diagonal
+            bs, ncols = e - s, k - c0
+            acc = np.zeros((bs, ncols), dtype=np.float64)
+            t_ = tmp[:bs, :ncols]
+            for i in range(Eb.shape[1]):
+                np.multiply.outer(Eb[s:e, i], Eb[c0:, i], out=t_)
+                acc += t_
+            cos = acc / np.multiply.outer(nrm[s:e], nrm[c0:])
+            keep = (np.arange(c0, k)[None, :] > np.arange(s, e)[:, None]) & (
+                cos >= thr
+            )
+            if band:
+                x = np.bitwise_xor.outer(sig[s:e], sig[c0:])
+                for t in range(band):
+                    keep &= ((x >> (EMB_LSH_BITS * t)) & nib_mask) != 0
+            ai, bj = np.nonzero(keep)
+            out_a.append(vid[ai + s])
+            out_b.append(vid[bj + c0])
+            out_c.append(cos[ai, bj])
+        if not out_a:
+            return empty
+        return pa.table({
+            "a_id": pa.array(np.concatenate(out_a)),
+            "b_id": pa.array(np.concatenate(out_b)),
+            "cos_raw": pa.array(np.concatenate(out_c)),
+        })
+    return _verify
+
+
 def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane (SimHash-for-vectors) LSH near-dup pairs — the
     SCALE path for q_dedup_embedding_cosine's O(n²) exact baseline: each
@@ -706,27 +837,28 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs unmeasurable. pytest measures recall against the exact baseline
     at sf0.001 AND sf0.01; the DuckDB oracle runs the SAME deterministic
     planes, so the driver check is a full value match."""
-    # r6 restructure (guide §2.3/§2.4, worked example §8): the previous
-    # plan carried BOTH 64-float embeddings + norms through every
-    # band-colliding row into a dropDuplicates shuffle — measured 105M
-    # pre-dedup rows × ~0.5 KB at the 20k-vector scale (≈130 s; 61% of the
-    # whole r5 driver bench). Now:
+    # r6 restructure (guide §2.3/§2.4, worked example §8): the r5 plan
+    # carried BOTH 64-float embeddings + norms through every band-colliding
+    # row into a dropDuplicates shuffle — measured 105M pre-dedup rows ×
+    # ~0.5 KB at the 20k-vector scale (≈130 s; 61% of the whole r5 driver
+    # bench). Now:
     #   1. the 32 hyperplane signs are computed by the vectorized Arrow
     #      kernel `_emb_sig_map` (bit-identical left fold — see its
     #      docstring) and packed into ONE long per vector, so band
     #      entries are NARROW (vec_id, sig, band, key) — no payload;
-    #   2. the duplicate-pair shuffle is REMOVED outright: a pair is
-    #      emitted only from its FIRST colliding band (every earlier
-    #      band's 4-bit key must differ — one XOR + nibble tests on the
-    #      packed longs), which yields exactly one row per colliding pair
-    #      with no dropDuplicates;
-    #   3. embeddings+norms are re-attached to the surviving pairs by a
-    #      BROADCAST join of the vector table, so the heavy bytes never
-    #      shuffle, and the exact-cosine verify runs the codegen'd
-    #      `_dot_chain` per pair instead of an interpreted fold.
-    #      At 100-TB scale the broadcast hint is replaced by slicing the
-    #      attach (guide §8.4); the narrow-pair + first-band-dedup shape
-    #      is unchanged by that swap.
+    #   2. the band buckets go STRAIGHT into the per-bucket Arrow kernel
+    #      (_emb_bucket_verify_factory): pair generation, first-colliding-
+    #      band dedup (one XOR + nibble tests on the packed sigs — exactly
+    #      one row per colliding pair, no dropDuplicates) AND the exact-
+    #      cosine verify all run inside numpy, so the ~n²/2^bits candidate
+    #      pair stream never exists as Spark rows (the r6a broadcast-join
+    #      attach paid an 18 s interpreted-fold stage over 82.5M pairs;
+    #      a narrow-pair mapInArrow verify paid ~26 s of pure JVM→Arrow
+    #      boundary for the same rows — measured with a passthrough);
+    #   3. the embedding matrix rides ONE broadcast into the kernel (the
+    #      same driver-collected relation a F.broadcast attach would ship;
+    #      at 100-TB scale the broadcast is replaced by slicing the attach
+    #      per guide §8.4 — the bucket-kernel shape is unchanged).
     # Output contract identical: same candidate set (collide in ≥1 band),
     # one row per pair, bit-identical cosines.
     emb = _read_par(spark, f"{sf_dir}/embeddings.parquet").select(
@@ -742,63 +874,46 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     entries = sigs.select(
         "vec_id", "sig", F.posexplode(nibbles).alias("band", "key")
     )
-    a = entries.alias("a")
-    b = entries.alias("b")
-    x = F.col("a.sig").bitwiseXOR(F.col("b.sig"))
-    first_band = F.lit(True)
-    for t in range(EMB_LSH_BANDS - 1):
-        first_band = first_band & (
-            (F.col("a.band") <= t)
-            | (
-                F.shiftright(x, EMB_LSH_BITS * t)
-                .bitwiseAND(F.lit((1 << EMB_LSH_BITS) - 1))
-                != 0
-            )
-        )
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .filter(first_band)
-        .select(
-            F.col("a.vec_id").alias("a_id"),
-            F.col("b.vec_id").alias("b_id"),
-        )
+    import numpy as np
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select(F.col("vec_id").cast("long").alias("vec_id"), "embedding")
+        .toArrow()
     )
-    withnrm = emb.select(
-        "vec_id", "embedding", _norm_col(F.col("embedding")).alias("nrm")
+    ids = rows.column("vec_id").to_numpy(zero_copy_only=False)
+    E = (
+        rows.column("embedding")
+        .combine_chunks()
+        .flatten()
+        .to_numpy(zero_copy_only=False)
+        .reshape(len(ids), EMB_DIM)
+        .astype(np.float64)
     )
-    va = withnrm.select(
-        F.col("vec_id").alias("a_id"),
-        F.col("embedding").alias("a_emb"),
-        F.col("nrm").alias("a_nrm"),
+    order = np.argsort(ids)
+    emb_bc = spark.sparkContext.broadcast((ids[order], E[order]))
+    # The prefilter threshold handed to the kernel is STRICTLY weaker than
+    # the rounded test — round6(x) >= 0.45 requires x >= 0.4499995 - 1ulp,
+    # far above 0.449999 — so it drops no qualifying pair; round(·,6) and
+    # the final comparison stay in Spark expressions (HALF_UP semantics
+    # unchanged) over the same doubles the JVM fold would have produced.
+    # Explicit partition count ahead of the groupBy: the bucket-entry
+    # shuffle is a few MB, so AQE's partition coalescing (sized for bytes,
+    # blind to the O(k²) work behind each bucket) folds it to 1-2
+    # partitions and serializes the whole quadratic verify onto 1-2 cores
+    # — measured 14.5 s vs 3.1 s for the identical kernel. A user-supplied
+    # numPartitions is exempt from coalescing, and the groupBy reuses the
+    # exchange (same keys). Scale-adaptive: 4× the session's default
+    # parallelism, never a constant.
+    P = spark.sparkContext.defaultParallelism * 4
+    verified = entries.repartition(P, "band", "key").groupBy(
+        "band", "key"
+    ).applyInArrow(
+        _emb_bucket_verify_factory(emb_bc, COSINE_THRESHOLD - 1e-6),
+        "a_id long, b_id long, cos_raw double",
     )
-    vb = withnrm.select(
-        F.col("vec_id").alias("b_id"),
-        F.col("embedding").alias("b_emb"),
-        F.col("nrm").alias("b_nrm"),
-    )
-    verified = cand.join(F.broadcast(va), "a_id").join(F.broadcast(vb), "b_id")
-    # exact-cosine verify uses the interpreted _dot FOLD deliberately: the
-    # 64-term codegen chain does NOT compile inside this stage (join +
-    # 2 broadcast joins + expression overflow janino → whole-stage
-    # fallback), and the interpreted chain is ~15× slower than the
-    # interpreted fold's tight loop (measured 229 s vs ~6 s over 82.5M
-    # candidate pairs).
-    cos = _dot(F.col("a_emb"), F.col("b_emb")) / (F.col("a_nrm") * F.col("b_nrm"))
-    # Evaluate the fold ONCE per candidate: the final `round(cos,6) >=
-    # threshold` filter gets the whole fold substituted into BOTH the
-    # filter and the projection (2 evaluations/row). The raw-cosine
-    # prefilter below is STRICTLY weaker than the rounded test —
-    # round6(x) >= 0.45 requires x >= 0.4499995 - 1ulp, far above
-    # 0.449999 — so it drops no qualifying pair, and the expensive double
-    # evaluation only runs on the ~10^-4 surviving fraction.
-    prefiltered = verified.filter(cos >= F.lit(COSINE_THRESHOLD - 1e-6))
-    return prefiltered.select(
-        "a_id", "b_id", F.round(cos, 6).alias("cos")
+    return verified.select(
+        "a_id", "b_id", F.round("cos_raw", 6).alias("cos")
     ).filter(F.col("cos") >= COSINE_THRESHOLD)
 
 
