@@ -973,7 +973,7 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     flag — the step that turns pair emission into an actual keep/drop
     decision in a dedup pipeline (keep ``is_canonical``, drop the rest).
     This mirrors how the reference collapses repeated issues into ONE
-    grouped report row (report/report.go grouped-issues section) — here
+    grouped report row (report/analyzeLog.go:196-265 grouped collapse) — here
     generalized to transitive near-dup groups over documents.
 
     Edges are the md5 MinHash+LSH verified pairs (the oracle-checkable
@@ -1020,6 +1020,11 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         nb = edges.join(
             labels.select(F.col("u").alias("v"), "cluster_id"), "v"
         ).select("u", "cluster_id")
+        # EAGER localCheckpoint kept deliberately: a lazy checkpoint
+        # (probe agg as the materializing action, 1 job/round instead of
+        # 2) was tried this round and measured UNSTABLE — 8-40 s swings
+        # at the 50k-doc scale vs a steady ~4.8 s eager, on a clean-calib
+        # host. The extra per-round job is driver overhead only.
         new = (
             labels.union(nb)
             .groupBy("u")
