@@ -428,30 +428,42 @@ WHERE len(list_intersect(da.sh, db.sh)) * {JACCARD_DEN}
 SIMHASH_BITS = 60  # 15 hex digits of md5 — exactly representable cross-engine
 
 
-_SIMHASH_FIELD_BITS = 16  # per-bit count field width in the packed sums
-_SIMHASH_FIELDS = 64 // _SIMHASH_FIELD_BITS  # counts per packed long
-_SIMHASH_PACKS = SIMHASH_BITS // _SIMHASH_FIELDS  # packed columns (15)
+_SIMHASH_FIELD_BITS = 21  # per-bit count field stride in the packed sums
+_SIMHASH_FIELDS = 64 // _SIMHASH_FIELD_BITS  # counts per packed long (3)
+_SIMHASH_PACKS = SIMHASH_BITS // _SIMHASH_FIELDS  # packed columns (20)
+# Documents with more distinct shingles than this cap fail LOUDLY via the
+# guard below. The cap must sit well under the point where the packed SUM
+# itself overflows a signed long — max sum ≈ nsh · 2^(2·FIELD_BITS) for
+# 3 fields — or ANSI mode aborts the aggregate with a generic
+# ARITHMETIC_OVERFLOW before the guard can name the problem (the r6a
+# 16-bit/4-field layout did exactly that from 2^15 shingles up, HALF its
+# nominal 2^16-1 capacity). 21-bit strides keep sums < 2^62 up to this
+# 2^20-1 cap — 2× margin — while widening the legal domain 16×.
+_SIMHASH_MAX_SHINGLES = (1 << 20) - 1
 
 
 def _simhash_from_hashes(spark: SparkSession, docs: DataFrame, hb: DataFrame) -> DataFrame:
     """(doc_id, h: 60-bit-usable BIGINT per shingle) → (doc_id, simhash).
 
     r6 packed-count form: per shingle row the 60 bit-tests are packed into
-    15 longs of 4×16-bit count fields (plain shifts/masks, codegen'd);
-    ONE map-side-combinable groupBy sums the packs + the shingle count;
-    the majority per bit unpacks from the sums (vote sum > 0 ⟺
-    2·cnt_bit > n_shingles — exactly the previous ±1-vote majority,
-    integer arithmetic throughout, so the fingerprints are identical).
+    20 longs of 3 count fields at 21-bit strides (plain shifts/masks,
+    codegen'd); ONE map-side-combinable groupBy sums the packs + the
+    shingle count; the majority per bit unpacks from the sums (vote sum
+    > 0 ⟺ 2·cnt_bit > n_shingles — exactly the previous ±1-vote
+    majority, integer arithmetic throughout, so the fingerprints are
+    identical).
 
     This replaces the r2–r5 60-row broadcast bit expansion + two
     aggregations: same output, one aggregation instead of two, and a
-    shuffle of 16 longs/doc instead of ≤60 rows/doc. (The r2 wide form
+    shuffle of 21 longs/doc instead of ≤60 rows/doc. (The r2 wide form
     of 60 when-sums was abandoned for a codegen overflow; the packed
-    form's aggregate is 16 plain long sums — well inside codegen — and
+    form's aggregate is 21 plain long sums — well inside codegen — and
     the 60-term unpack lives in a separate post-agg projection.)
-    Field capacity: 2^16-1 shingles per document, enforced with a loud
-    raise_error (a 65k-distinct-shingle document means megabytes of text
-    in one row — re-shard upstream rather than silently truncate)."""
+    Capacity: _SIMHASH_MAX_SHINGLES distinct shingles per document,
+    enforced with a loud raise_error sized so the packed sums themselves
+    can never hit ANSI long overflow first (see the constant); a
+    million-distinct-shingle document means many megabytes of text in
+    one row — re-shard upstream rather than silently truncate."""
     packs = []
     for j in range(_SIMHASH_PACKS):
         p = None
@@ -482,12 +494,12 @@ def _simhash_from_hashes(spark: SparkSession, docs: DataFrame, hb: DataFrame) ->
     sim = wide.select(
         "doc_id",
         F.when(
-            F.col("nsh") > (1 << _SIMHASH_FIELD_BITS) - 1,
+            F.col("nsh") > _SIMHASH_MAX_SHINGLES,
             F.raise_error(
                 F.lit(
                     "simhash packed-count overflow: a document carries more "
-                    "than 65535 distinct shingles; re-shard the document "
-                    "upstream"
+                    f"than {_SIMHASH_MAX_SHINGLES} distinct shingles; "
+                    "re-shard the document upstream"
                 )
             ).cast("long"),
         )
