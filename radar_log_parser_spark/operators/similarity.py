@@ -125,7 +125,13 @@ def ivf_assignments(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     n×K scored rows collapse to one row per vector in the map-side partial
     aggregation (scored rows for a vector never leave its partition). At
     scale the output is written partitioned by cell so probes touch only
-    matching files."""
+    matching files.
+
+    Reference form (kept as the correctness twin for pytest): the
+    production query uses `_ivf_assign_factory` — the interpreted n×K
+    `_dot` folds with the embedding payload riding every scored row were
+    the dominant cost of the IVF query (2.2 s of its 1.6-2.2 s wall at
+    the 20k-vector scale; guide §4.2)."""
     cos = _dot(F.col("embedding"), F.col("c_emb")) / (F.col("nrm") * F.col("c_nrm"))
     scored = emb.join(F.broadcast(centroids)).select(
         "vec_id", "embedding", "nrm", "cell", cos.alias("cos")
@@ -138,6 +144,56 @@ def ivf_assignments(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
+def _ivf_assign_factory(cent_bc):
+    """Vectorized nearest-centroid assignment (mapInArrow, guide §4.2):
+    one kernel call scores a whole batch against the K-row broadcast
+    centroid matrix and emits (vec_id, cell, embedding, nrm) — the
+    embedding column passes through the kernel untouched (original
+    float32 values), so no re-attach join is needed downstream.
+
+    Bit-identity with `ivf_assignments` (same argument as the dedup
+    kernels): the batch-vs-centroid dots accumulate
+    `acc + E[:, i] ⊗ C[:, i]` dimension by dimension — the exact
+    left-fold order of `_dot`'s F.aggregate — the vector norms fold the
+    same way as `_norm_col` before one correctly-rounded sqrt, and the
+    centroid norms are the COLLECTED c_nrm doubles the JVM fold already
+    computed. The argmax tiebreak is preserved exactly: `max_by(cell,
+    struct(cos, -cell))` picks max cos then MIN cell among exact-double
+    ties; the centroid columns are ordered by cell ascending, and
+    np.argmax returns the FIRST maximal column — the same min-cell
+    winner (ties only occur on bit-equal cosines, which both sides
+    compute identically)."""
+    def _assign(it):
+        import numpy as np
+        import pyarrow as pa
+
+        cells, C, cn = cent_bc.value  # cell-ascending; C: (K, d) float64
+        for batch in it:
+            vid = batch.column("vec_id")
+            n = len(vid)
+            E = (
+                batch.column("embedding")
+                .flatten()
+                .to_numpy(zero_copy_only=False)
+                .reshape(n, C.shape[1])
+                .astype(np.float64)
+            )
+            en = np.zeros(n, dtype=np.float64)
+            acc = np.zeros((n, C.shape[0]), dtype=np.float64)
+            for i in range(C.shape[1]):
+                en = en + E[:, i] * E[:, i]
+                acc = acc + np.multiply.outer(E[:, i], C[:, i])
+            en = np.sqrt(en)
+            cos = acc / np.multiply.outer(en, cn)
+            best = cos.argmax(axis=1)  # first max ⟺ min cell on ties
+            yield pa.RecordBatch.from_arrays(
+                [vid, pa.array(cells[best]), batch.column("embedding"),
+                 pa.array(en)],
+                ["vec_id", "cell", "embedding", "nrm"],
+            )
+    return _assign
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k (scale path): K hash-sampled centroid seeds, assign
     vectors to cells, probe the IVF_PROBES nearest cells per query, rank
@@ -146,7 +202,32 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     additionally measures recall vs the exact top-k."""
     emb = _emb(spark, sf_dir)
     centroids = ivf_centroids(emb)
-    assigned = ivf_assignments(emb, centroids)
+    # assignment via the vectorized kernel (see _ivf_assign_factory): the
+    # K-row centroid table is collected once (cell-ascending — kernel
+    # argmax tiebreak relies on this order) and broadcast; the n×K
+    # scoring never exists as Spark rows. `ivf_assignments` is the
+    # retained JVM twin pytest pins the kernel against.
+    import numpy as np
+
+    crows = centroids.orderBy("cell").toArrow()
+    cells = crows.column("cell").to_numpy(zero_copy_only=False)
+    dim = len(crows.column("c_emb")[0])
+    C = (
+        crows.column("c_emb")
+        .combine_chunks()
+        .flatten()
+        .to_numpy(zero_copy_only=False)
+        .reshape(len(cells), dim)
+        .astype(np.float64)
+    )
+    cn = crows.column("c_nrm").to_numpy(zero_copy_only=False)
+    cent_bc = spark.sparkContext.broadcast((cells, C, cn))
+    assigned = _read_par(spark, f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").cast("long").alias("vec_id"), "embedding"
+    ).mapInArrow(
+        _ivf_assign_factory(cent_bc),
+        "vec_id long, cell long, embedding array<float>, nrm double",
+    )
 
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),

@@ -294,6 +294,51 @@ def test_simhash_packed_equals_bit_expansion(spark):
     assert got == ref and got
 
 
+def test_ivf_assign_kernel_equals_jvm_twin(spark):
+    """The vectorized nearest-centroid kernel must reproduce the JVM
+    broadcast-join + max_by argmax assignment for EVERY vector (cells,
+    pass-through embeddings, and the fold-computed norms)."""
+    import numpy as np
+
+    from radar_log_parser_spark.operators.logquery import _read_par
+    from radar_log_parser_spark.operators.similarity import (
+        _emb,
+        _ivf_assign_factory,
+        ivf_assignments,
+        ivf_centroids,
+    )
+
+    sf = SF_DIR_MID
+    emb = _emb(spark, sf)
+    cent = ivf_centroids(emb)
+    ref = {
+        r["vec_id"]: (r["cell"], r["nrm"])
+        for r in ivf_assignments(emb, cent).select("vec_id", "cell", "nrm").collect()
+    }
+    crows = cent.orderBy("cell").toArrow()
+    cells = crows.column("cell").to_numpy(zero_copy_only=False)
+    dim = len(crows.column("c_emb")[0])
+    C = (
+        crows.column("c_emb").combine_chunks().flatten()
+        .to_numpy(zero_copy_only=False).reshape(len(cells), dim)
+        .astype(np.float64)
+    )
+    cn = crows.column("c_nrm").to_numpy(zero_copy_only=False)
+    bc = spark.sparkContext.broadcast((cells, C, cn))
+    got = {
+        r["vec_id"]: (r["cell"], r["nrm"])
+        for r in _read_par(spark, f"{sf}/embeddings.parquet")
+        .select(F.col("vec_id").cast("long").alias("vec_id"), "embedding")
+        .mapInArrow(
+            _ivf_assign_factory(bc),
+            "vec_id long, cell long, embedding array<float>, nrm double",
+        )
+        .select("vec_id", "cell", "nrm")
+        .collect()
+    }
+    assert got == ref and len(got) == 500  # nrm compared EXACTLY, not approx
+
+
 def test_simhash_overflow_guard(spark):
     """A document over the shingle cap must fail via the NAMED guard —
     not a generic ANSI ARITHMETIC_OVERFLOW from the packed sums (the r6a
